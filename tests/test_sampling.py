@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hipad_tpu.ops.sampling import deformable_aggregation
+
+
+def naive_reference(feature_maps, points_2d, weights):
+    """Per-sample python loop implementing the CUDA kernel semantics
+    (`ops/src/deformable_aggregation_cuda.cu:129-187`)."""
+    bs, A, P, C_, _ = points_2d.shape
+    channels = feature_maps[0].shape[-1]
+    groups = weights.shape[-1]
+    gd = channels // groups
+    out = np.zeros((bs, A, channels), np.float64)
+    for b in range(bs):
+        for a in range(A):
+            for p in range(P):
+                for c in range(C_):
+                    lx, ly = points_2d[b, a, p, c]
+                    if not (0 < lx < 1 and 0 < ly < 1):
+                        continue
+                    for l, fm in enumerate(feature_maps):
+                        H, W = fm.shape[2], fm.shape[3]
+                        px, py = lx * W - 0.5, ly * H - 0.5
+                        x0, y0 = int(np.floor(px)), int(np.floor(py))
+                        fx, fy = px - x0, py - y0
+                        val = np.zeros(channels)
+                        for dy, dx, cw in (
+                            (0, 0, (1 - fy) * (1 - fx)),
+                            (0, 1, (1 - fy) * fx),
+                            (1, 0, fy * (1 - fx)),
+                            (1, 1, fy * fx),
+                        ):
+                            xi, yi = x0 + dx, y0 + dy
+                            if 0 <= xi < W and 0 <= yi < H:
+                                val += cw * fm[b, c, yi, xi]
+                        w = np.repeat(weights[b, a, p, c, l], gd)
+                        out[b, a] += w * val
+    return out
+
+
+def _random_inputs(seed=0, bs=2, A=3, P=4, cams=2, levels=2, C=8, groups=2):
+    rs = np.random.RandomState(seed)
+    shapes = [(6, 8), (3, 4)][:levels]
+    feats = [rs.randn(bs, cams, h, w, C).astype(np.float32) for h, w in shapes]
+    pts = rs.uniform(-0.2, 1.2, (bs, A, P, cams, 2)).astype(np.float32)
+    w = rs.rand(bs, A, P, cams, levels, groups).astype(np.float32)
+    return feats, pts, w
+
+
+def test_matches_naive_reference():
+    feats, pts, w = _random_inputs()
+    got = np.asarray(deformable_aggregation([jnp.asarray(f) for f in feats], jnp.asarray(pts), jnp.asarray(w)))
+    want = naive_reference(feats, pts, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_out_of_bounds_is_zero():
+    feats, pts, w = _random_inputs()
+    pts_oob = np.full_like(pts, 1.5)
+    got = np.asarray(
+        deformable_aggregation([jnp.asarray(f) for f in feats], jnp.asarray(pts_oob), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(got, 0.0, atol=1e-7)
+
+
+def test_differentiable():
+    feats, pts, w = _random_inputs(bs=1, A=2, P=2, cams=1, levels=1, C=4, groups=1)
+
+    def loss(feats0, pts_, w_):
+        return jnp.sum(deformable_aggregation([feats0], pts_, w_) ** 2)
+
+    g_f, g_p, g_w = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(feats[0]), jnp.asarray(pts), jnp.asarray(w)
+    )
+    assert np.isfinite(np.asarray(g_f)).all()
+    assert np.isfinite(np.asarray(g_p)).all()
+    assert np.isfinite(np.asarray(g_w)).all()
+    assert float(jnp.abs(g_f).sum()) > 0
+    assert float(jnp.abs(g_w).sum()) > 0
+
+
+def test_jit_compiles():
+    feats, pts, w = _random_inputs()
+    fn = jax.jit(lambda f0, f1, p, ww: deformable_aggregation([f0, f1], p, ww))
+    out = fn(jnp.asarray(feats[0]), jnp.asarray(feats[1]), jnp.asarray(pts), jnp.asarray(w))
+    assert out.shape == (2, 3, 8)
