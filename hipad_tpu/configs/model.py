@@ -1,0 +1,333 @@
+"""Model configuration (plain dataclasses — no registry system).
+
+The reference wires every component through mmcv's string registry and two
+~650-line python config files (`projects/configs/hipad_b2d_stage{1,2}.py`).
+Here the load-bearing ideas are kept — the *operation-order-as-data* decoder
+program, the two-stage task split, the per-task anchor/keypoint settings —
+as one typed dataclass tree.
+
+K-means anchors are data (the reference ships them as .npy). ``load_anchors``
+reads them from disk when available and synthesises plausible stand-ins
+otherwise (tests / fresh setups); `tools/kmeans.py` can regenerate real ones
+from a dataset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+# A plan anchor type is ("temp"|"spat"|"speed", unit, [speed_range]).
+PlanAnchorType = Tuple
+
+SINGLE_FRAME_LAYER = (
+    "concat", "gnn", "inter_gnn", "norm", "split",
+    "deformable", "concat", "ffn", "norm", "split", "refine",
+)
+TEMPORAL_FRAME_LAYER = (
+    "concat", "temp_gnn", "gnn", "inter_gnn", "norm", "split",
+    "deformable", "concat", "ffn", "norm", "split", "refine",
+)
+
+DET_CLASS_NAMES = (
+    "car", "van", "truck", "bicycle", "traffic_sign", "traffic_cone",
+    "traffic_light", "pedestrian", "others",
+)
+MAP_CLASS_NAMES = ("Broken", "Solid", "SolidSolid", "Center")
+
+REFERENCE_KMEANS_DIR = "/root/reference/data/kmeans"
+
+
+@dataclasses.dataclass(frozen=True)
+class KeypointSpec:
+    """Box keypoints: fixed box-frame scales + learnable offsets."""
+
+    fix_scale: Tuple[Tuple[float, float, float], ...]
+    num_learnable: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PointKeypointSpec:
+    """Polyline keypoints: per-sample learnable 2D offsets x fixed heights."""
+
+    num_sample: int
+    num_learnable: int
+    fix_height: Tuple[float, ...]
+    ground_height: float
+
+
+DET_KPS = KeypointSpec(
+    fix_scale=(
+        (0.0, 0.0, 0.0),
+        (0.45, 0.0, 0.0),
+        (-0.45, 0.0, 0.0),
+        (0.0, 0.45, 0.0),
+        (0.0, -0.45, 0.0),
+        (0.0, 0.0, 0.45),
+        (0.0, 0.0, -0.45),
+    ),
+    num_learnable=6,
+)
+EGO_KPS = KeypointSpec(fix_scale=((0.45, 0.0, 0.0),), num_learnable=12)
+
+GROUND_HEIGHT = -1.84023  # lidar-frame ground height (stage2 config:345)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class HiPADConfig:
+    # --- tasks / query layout -------------------------------------------------
+    task_select: Tuple[str, ...] = ("det", "map", "plan", "ego", "motion")
+    query_select: Tuple[str, ...] = ("det", "map", "plan", "ego")
+    operation_order: Tuple[str, ...] = SINGLE_FRAME_LAYER + TEMPORAL_FRAME_LAYER * 5
+    num_single_frame_decoder: int = 1
+
+    # --- widths ---------------------------------------------------------------
+    embed_dims: int = 256
+    num_groups: int = 8  # attention heads == sampling groups
+    drop_out: float = 0.1
+    decouple_attn: bool = True
+
+    # --- image / camera -------------------------------------------------------
+    num_cams: int = 6
+    input_size: Tuple[int, int] = (352, 640)  # (H, W)
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    num_depth_layers: int = 3
+
+    # --- backbone ---------------------------------------------------------
+    backbone_stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    backbone_base_planes: int = 64
+    backbone_remat: bool = True
+    use_grid_mask: bool = True
+
+    # --- det --------------------------------------------------------------
+    num_det_anchor: int = 900
+    num_temp_det_anchor: int = 600
+    num_det_classes: int = len(DET_CLASS_NAMES)
+    det_kps: KeypointSpec = DET_KPS
+    zero_velocity_class_ids: Tuple[int, ...] = (4, 5, 6)  # sign, cone, light
+    det_score_threshold: float = 0.05
+    det_num_output: int = 300
+
+    # --- map --------------------------------------------------------------
+    num_map_anchor: int = 100
+    num_map_classes: int = len(MAP_CLASS_NAMES)
+    map_num_pts: int = 20
+    map_kps: PointKeypointSpec = PointKeypointSpec(
+        num_sample=20, num_learnable=3,
+        fix_height=(0.0, 0.5, -0.5, 1.0, -1.0), ground_height=GROUND_HEIGHT,
+    )
+    map_roi_size: Tuple[float, float] = (30.0, 60.0)
+
+    # --- ego ----------------------------------------------------------------
+    ego_kps: KeypointSpec = EGO_KPS
+    ego_status_dims: int = 6
+
+    # --- plan -------------------------------------------------------------
+    ego_fut_ts: int = 6
+    ego_fut_cmd: int = 1
+    ego_fut_mode: int = 48
+    num_temp_plan_mode: int = 48
+    plan_anchor_types: Tuple[PlanAnchorType, ...] = (
+        ("temp", "5hz"), ("spat", "2m"), ("temp", "2hz"), ("spat", "5m"),
+        ("speed", "5hz", (0.0, 0.4)), ("speed", "5hz", (0.4, 3.0)), ("speed", "5hz", (3.0, 999.0)),
+        ("speed", "2hz", (0.0, 0.4)), ("speed", "2hz", (0.4, 3.0)), ("speed", "2hz", (3.0, 999.0)),
+    )
+    plan_anchor_refer: PlanAnchorType = ("spat", "2m")
+    plan_speed_refer: PlanAnchorType = ("temp", "5hz")
+    plan_kps: PointKeypointSpec = PointKeypointSpec(
+        num_sample=6, num_learnable=3,
+        fix_height=(0.0, 0.5, -0.5, 1.0, -1.0), ground_height=GROUND_HEIGHT,
+    )
+    num_command: int = 6
+    with_command_embed: bool = True
+    with_target_point_embed: bool = True
+    with_supervise_ego_status: bool = True
+    with_ego_instance_feature: bool = True
+
+    # --- motion -------------------------------------------------------------
+    fut_ts: int = 6
+    fut_mode: int = 6
+    num_motion_classes: int = 9
+
+    # --- temporal banks -----------------------------------------------------
+    default_time_interval: float = 0.5
+    max_time_interval: float = 2.0
+    confidence_decay: float = 0.6
+    det_feat_grad: bool = False
+
+    # --- misc --------------------------------------------------------------
+    cls_threshold_to_reg: float = 0.05
+
+    # --- anchor data (numpy; excluded from equality/hash) --------------------
+    det_anchor: np.ndarray = None
+    map_anchor: np.ndarray = None
+    motion_anchor: np.ndarray = None
+    plan_anchor: np.ndarray = None  # [group * cmd * mode, ego_fut_ts*2]
+
+    # ---- derived -------------------------------------------------------------
+    @property
+    def plan_anchor_group(self) -> int:
+        return len(self.plan_anchor_types)
+
+    @property
+    def num_plan_anchor(self) -> int:
+        return self.plan_anchor_group * self.ego_fut_cmd * self.ego_fut_mode
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+    @property
+    def query_counts(self) -> Dict[str, int]:
+        return {
+            "det": self.num_det_anchor,
+            "map": self.num_map_anchor,
+            "plan": self.num_plan_anchor,
+            "ego": 1,
+        }
+
+    @property
+    def temp_query_counts(self) -> Dict[str, int]:
+        return {
+            "det": self.num_temp_det_anchor,
+            "map": 0,
+            "plan": self.plan_anchor_group * self.ego_fut_cmd * self.num_temp_plan_mode,
+            "ego": 1,
+        }
+
+    def sections(self, counts: Dict[str, int]) -> Dict[str, Tuple[int, int]]:
+        out, start = {}, 0
+        for q in self.query_select:
+            out[q] = (start, start + counts[q])
+            start += counts[q]
+        return out
+
+    @property
+    def speed_areas(self) -> Tuple[Tuple[float, float], ...]:
+        areas = []
+        for t in self.plan_anchor_types:
+            if t[0] == "speed" and t[2] not in areas:
+                areas.append(t[2])
+        return tuple(areas)
+
+    @property
+    def ego_anchor_init(self) -> np.ndarray:
+        """Fixed b2d ego vehicle box (`models/ego/instance_bank.py:52-58`)."""
+        return np.array(
+            [[0.0, 0.5, -1.84 + 1.49 / 2, np.log(4.89), np.log(1.84), np.log(1.49),
+              1.0, 0.0, 0.0, 0.0, 0.0]],
+            dtype=np.float32,
+        )
+
+
+def _synthetic_anchors(cfg_kwargs: dict, rng: np.random.RandomState):
+    """Plausible stand-in anchors when the kmeans .npy files are absent."""
+    nd = cfg_kwargs.get("num_det_anchor", 900)
+    nm = cfg_kwargs.get("num_map_anchor", 100)
+    npts = cfg_kwargs.get("map_num_pts", 20)
+    n_cls = cfg_kwargs.get("num_motion_classes", 9)
+    fut_mode = cfg_kwargs.get("fut_mode", 6)
+    fut_ts = cfg_kwargs.get("fut_ts", 6)
+    ego_ts = cfg_kwargs.get("ego_fut_ts", 6)
+    ego_mode = cfg_kwargs.get("ego_fut_mode", 48)
+    n_types = len(cfg_kwargs.get("plan_anchor_types", HiPADConfig.plan_anchor_types))
+    cmd = cfg_kwargs.get("ego_fut_cmd", 1)
+
+    det = np.zeros((nd, 11), np.float32)
+    det[:, 0] = rng.uniform(-15, 15, nd)
+    det[:, 1] = rng.uniform(-30, 30, nd)
+    det[:, 2] = rng.uniform(-2, 0, nd)
+    det[:, 7] = 1.0  # cos(yaw)=1
+    mapa = rng.uniform(-20, 20, (nm, npts, 2)).astype(np.float32)
+    mapa.sort(axis=1)
+    motion = np.cumsum(rng.randn(n_cls, fut_mode, fut_ts, 2).astype(np.float32), axis=2)
+    step = rng.uniform(0.5, 2.5, (n_types * cmd * ego_mode, 1, 2)).astype(np.float32)
+    plan = np.cumsum(np.tile(step, (1, ego_ts, 1)), axis=1)
+    plan = plan.reshape(n_types * cmd * ego_mode, ego_ts * 2)
+    return det, mapa.reshape(nm, -1), motion, plan
+
+
+def load_anchors(kmeans_dir: str = REFERENCE_KMEANS_DIR, cfg_kwargs: dict | None = None):
+    """Load (det, map, motion, plan) anchors; synthesise when files missing."""
+    cfg_kwargs = cfg_kwargs or {}
+    types = cfg_kwargs.get("plan_anchor_types", HiPADConfig.plan_anchor_types)
+    paths = {
+        "det": os.path.join(kmeans_dir, "b2d_det_900.npy"),
+        "map": os.path.join(kmeans_dir, "b2d_map_100.npy"),
+        "motion": os.path.join(kmeans_dir, "b2d_motion_6.npy"),
+        "plan_2m": os.path.join(kmeans_dir, "b2d_plan_spat_6x8_2m.npy"),
+        "plan_5m": os.path.join(kmeans_dir, "b2d_plan_spat_6x8_5m.npy"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        det = np.load(paths["det"]).astype(np.float32)
+        mapa = np.load(paths["map"]).astype(np.float32).reshape(100, -1)
+        motion = np.load(paths["motion"]).astype(np.float32)
+        plan_2m = np.load(paths["plan_2m"]).astype(np.float32).reshape(48, -1)
+        plan_5m = np.load(paths["plan_5m"]).astype(np.float32).reshape(48, -1)
+        # Per-anchor-type plan anchor table (stage2 config:88-99): 2m-spaced
+        # anchors for 5hz/2m/speed-5hz groups, 5m-spaced for 2hz/5m/speed-2hz.
+        per_type = []
+        for t in types:
+            unit = t[1]
+            per_type.append(plan_2m if unit in ("5hz", "2m") else plan_5m)
+        plan = np.concatenate(per_type, axis=0)
+        return det, mapa, motion, plan
+    return _synthetic_anchors(cfg_kwargs, np.random.RandomState(0))
+
+
+def stage2(kmeans_dir: str = REFERENCE_KMEANS_DIR, **overrides) -> HiPADConfig:
+    det, mapa, motion, plan = load_anchors(kmeans_dir, overrides)
+    return HiPADConfig(
+        det_anchor=det, map_anchor=mapa, motion_anchor=motion, plan_anchor=plan,
+        **overrides,
+    )
+
+
+def stage1(kmeans_dir: str = REFERENCE_KMEANS_DIR, **overrides) -> HiPADConfig:
+    """Perception pre-training: no motion task, single plan anchor type
+    (stage1 config:67,85-87); plan/ego losses weighted 0 by the trainer."""
+    overrides.setdefault("task_select", ("det", "map", "plan", "ego"))
+    overrides.setdefault("plan_anchor_types", (("temp", "2hz"),))
+    overrides.setdefault("plan_anchor_refer", ("temp", "2hz"))
+    overrides.setdefault("plan_speed_refer", ("temp", "2hz"))
+    return stage2(kmeans_dir, **overrides)
+
+
+def tiny(**overrides) -> HiPADConfig:
+    """Small config for CPU tests: same structure, tiny widths/counts."""
+    kwargs = dict(
+        embed_dims=32,
+        num_groups=4,
+        num_cams=2,
+        input_size=(64, 96),
+        backbone_stage_blocks=(1, 1, 1, 1),
+        backbone_base_planes=8,
+        backbone_remat=False,
+        num_det_anchor=12,
+        num_temp_det_anchor=6,
+        num_map_anchor=4,
+        map_num_pts=5,
+        map_kps=PointKeypointSpec(5, 2, (0.0, 0.5), GROUND_HEIGHT),
+        plan_kps=PointKeypointSpec(4, 2, (0.0, 0.5), GROUND_HEIGHT),
+        det_kps=KeypointSpec(((0.0, 0.0, 0.0), (0.45, 0.0, 0.0)), 2),
+        ego_kps=KeypointSpec(((0.45, 0.0, 0.0),), 3),
+        ego_fut_ts=4,
+        ego_fut_mode=3,
+        num_temp_plan_mode=3,
+        fut_ts=4,
+        fut_mode=2,
+        plan_anchor_types=(
+            ("temp", "5hz"), ("spat", "2m"),
+            ("speed", "5hz", (0.0, 3.0)), ("speed", "5hz", (3.0, 999.0)),
+        ),
+        plan_anchor_refer=("spat", "2m"),
+        plan_speed_refer=("temp", "5hz"),
+        operation_order=SINGLE_FRAME_LAYER + TEMPORAL_FRAME_LAYER * 1,
+    )
+    kwargs.update(overrides)
+    det, mapa, motion, plan = _synthetic_anchors(kwargs, np.random.RandomState(0))
+    return HiPADConfig(det_anchor=det, map_anchor=mapa, motion_anchor=motion,
+                       plan_anchor=plan, **kwargs)

@@ -1,0 +1,423 @@
+"""Unified sparse decoder over the concatenated multi-task query set.
+
+TPU-native rework of the reference ``SparseOneDecoder``
+(`models/sparse_onedecoder.py:35-1092`):
+
+  * the decoder *program* is data — ``cfg.operation_order`` is a flat tuple of
+    op names (concat / temp_gnn / gnn / inter_gnn / norm / split / deformable /
+    ffn / refine) executed by a Python loop that unrolls at trace time into a
+    single XLA graph;
+  * every query budget is static, so the per-modality slice boundaries are
+    compile-time constants (no dynamic shapes anywhere);
+  * temporal instance banks are explicit pytree state
+    (``instance_bank.BankStates``) passed in and returned, not module
+    attributes; the first frame is the *static* case ``bank_states=None``.
+
+Returns (outputs, new_bank_states) where outputs carries per-layer
+classification / regression stacks for every task head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.model import HiPADConfig
+from ..core.geometry import agent_to_lidar_trajs, sine_embed_2d
+from ..ops.sampling import front_view_feature
+from . import instance_bank as banks
+from .attention_blocks import GroupedCrossAttention, cross_attention_groups, self_attention_groups
+from .common import MLPLN, AsymmetricFFN
+from .deformable import DeformableAggregation
+from .encoders import SparseBox3DEncoder, SparsePoint3DEncoder
+from .keypoints import BoxKeypoints, PointKeypoints
+from .refine import (
+    EgoStatusRefinement,
+    SparseBox3DRefinement,
+    SparseMotionRefinement,
+    SparsePlanAlignRefinement,
+    SparsePoint3DRefinement,
+)
+
+
+class FrontViewEncoder(nn.Module):
+    """Front-camera global feature (`models/ego/instance_bank.py:68-75`):
+    conv3x3/1-BN-conv3x3/2-BN-ReLU-AvgPool over the stride-32 front view."""
+
+    embed_dims: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, fmap: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        x = nn.Conv(self.embed_dims, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(fmap)
+        x = bn("bn1")(x)
+        x = nn.Conv(self.embed_dims, (3, 3), strides=(2, 2), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(bn("bn2")(x))
+        # AvgPool with the config-derived kernel; the reference then squeezes
+        # an exactly-1x1 map — we take the first window, identical for the
+        # shipped geometry.
+        h, w = x.shape[1:3]
+        kh, kw = max(1, min(h, (fmap.shape[1] + 1) // 2)), max(1, min(w, (fmap.shape[2] + 1) // 2))
+        x = nn.avg_pool(x, (kh, kw), strides=(kh, kw))
+        return x[:, 0, 0, :]  # [bs, C]
+
+
+class SparseOneDecoder(nn.Module):
+    cfg: HiPADConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        feature_maps: Sequence[jnp.ndarray],
+        metas: Dict[str, jnp.ndarray],
+        bank_states: Optional[banks.BankStates] = None,
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        C = cfg.embed_dims
+        det = not train  # deterministic flag for dropout
+        bs = feature_maps[0].shape[0]
+        has_temp = bank_states is not None
+        qs = cfg.query_select
+
+        # ============== bank parameters =================================
+        det_anchor_p = self.param("det_anchor", lambda k: jnp.asarray(cfg.det_anchor, jnp.float32))
+        det_feat_p = self.param("det_feature", nn.initializers.zeros, (cfg.num_det_anchor, C))
+        map_anchor_p = self.param("map_anchor", lambda k: jnp.asarray(cfg.map_anchor, jnp.float32))
+        map_feat_p = self.param("map_feature", nn.initializers.xavier_uniform(), (cfg.num_map_anchor, C))
+        plan_anchor_p = self.param("plan_anchor", lambda k: jnp.asarray(cfg.plan_anchor, jnp.float32))
+        ego_anchor_c = jnp.asarray(cfg.ego_anchor_init, jnp.float32)
+        motion_anchor_c = jnp.asarray(cfg.motion_anchor, jnp.float32)
+
+        # ============== shared submodules ===============================
+        # Sub-embedding widths (pos/size/yaw/vel) scale with embed_dims;
+        # (128, 32, 32, 64) at C=256 as in stage2 config:202-210.
+        det_enc = SparseBox3DEncoder(
+            embed_dims=(C // 2, C // 8, C // 8, C // 4),
+            dtype=self.dtype, name="det_anchor_encoder",
+        )
+        map_enc = SparsePoint3DEncoder(C, dtype=self.dtype, name="map_anchor_encoder")
+        plan_enc = SparsePoint3DEncoder(C, dtype=self.dtype, name="plan_anchor_encoder")
+        ego_fv = FrontViewEncoder(C, dtype=self.dtype, name="ego_feature_encoder")
+        plan_fv = FrontViewEncoder(C, dtype=self.dtype, name="plan_feature_encoder")
+        fc_before = nn.Dense(C * 2, use_bias=False, dtype=self.dtype, name="fc_before")
+        fc_after = nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc_after")
+
+        timestamp = metas["timestamp"]
+        projection_mat = metas["projection_mat"]
+        image_wh = metas["image_wh"]
+
+        # ============== query init (banks .get) =========================
+        feat: Dict[str, jnp.ndarray] = {}
+        anchor: Dict[str, jnp.ndarray] = {}
+        embed: Dict[str, jnp.ndarray] = {}
+        tfeat: Dict[str, Optional[jnp.ndarray]] = {}
+        tembed: Dict[str, Optional[jnp.ndarray]] = {}
+
+        # det
+        feat["det"] = jnp.tile(det_feat_p[None], (bs, 1, 1))
+        if not cfg.det_feat_grad:
+            feat["det"] = jax.lax.stop_gradient(feat["det"])
+        anchor["det"] = jnp.tile(det_anchor_p[None], (bs, 1, 1))
+        temp_det_feat, temp_det_anchor, time_interval, det_mask = banks.det_bank_get(
+            cfg, bank_states.det if has_temp else None, bs, timestamp,
+            metas["T_global"], metas["T_global_inv"],
+        )
+        embed["det"] = det_enc(anchor["det"])
+        tfeat["det"] = temp_det_feat
+        tembed["det"] = det_enc(temp_det_anchor) if has_temp else None
+
+        # map (no temporal instances in the shipped config)
+        feat["map"] = jnp.tile(map_feat_p[None], (bs, 1, 1))
+        anchor["map"] = jnp.tile(map_anchor_p[None], (bs, 1, 1))
+        embed["map"] = map_enc(anchor["map"])
+        tfeat["map"] = None
+        tembed["map"] = None
+
+        # plan
+        plan_base = plan_fv(front_view_feature(feature_maps), train)  # [bs, C]
+        feat["plan"] = jnp.tile(plan_base[:, None], (1, cfg.num_plan_anchor, 1))
+        anchor["plan"] = jnp.tile(plan_anchor_p[None], (bs, 1, 1))
+        embed["plan"] = plan_enc(anchor["plan"])
+        temp_plan_feat, temp_plan_anchor = banks.plan_bank_get(
+            cfg, bank_states.plan if has_temp else None
+        )
+        tfeat["plan"] = temp_plan_feat
+        tembed["plan"] = plan_enc(temp_plan_anchor) if has_temp else None
+
+        # ego
+        ego_base = ego_fv(front_view_feature(feature_maps), train)
+        feat["ego"] = ego_base[:, None]  # [bs, 1, C]
+        anchor["ego"] = jnp.tile(ego_anchor_c[None], (bs, 1, 1))
+        embed["ego"] = det_enc(anchor["ego"])
+        temp_ego_feat, temp_ego_anchor = banks.ego_bank_get(
+            bank_states.ego if has_temp else None
+        )
+        tfeat["ego"] = temp_ego_feat
+        tembed["ego"] = det_enc(temp_ego_anchor) if has_temp else None
+
+        cur_sections = cfg.sections(cfg.query_counts)
+        temp_sections = cfg.sections(cfg.temp_query_counts)
+
+        def joint(d: Dict[str, Optional[jnp.ndarray]], counts) -> jnp.ndarray:
+            parts = []
+            for q in qs:
+                v = d[q]
+                if v is None:
+                    width = parts[0].shape[-1] if parts else C
+                    v = jnp.zeros((bs, 0, width), jnp.float32)
+                parts.append(v)
+            return jnp.concatenate(parts, axis=1)
+
+        # ============== attention op modules ============================
+        gnn_groups = self_attention_groups([("det",), ("map",)], [True, False])
+        temp_groups = cross_attention_groups(
+            [("det",), ("map",), ("plan", "ego")],
+            [("det",), ("map",), ("det", "map")],
+            [True, False, False],
+        )
+        inter_groups = cross_attention_groups([("plan", "ego")], [("det", "map")], [False])
+
+        # plan auxiliary encoders
+        if cfg.with_target_point_embed:
+            tp_enc_mlp = MLPLN(C, 2, 1, dtype=self.dtype, name="target_point_encoder_mlp")
+            tp_enc_out = nn.Dense(C, dtype=self.dtype, name="target_point_encoder_out")
+        if cfg.with_command_embed:
+            cmd_enc_mlp = MLPLN(C, 2, 1, dtype=self.dtype, name="command_encoder_mlp")
+            cmd_enc_out = nn.Dense(C, dtype=self.dtype, name="command_encoder_out")
+        if "motion" in cfg.task_select:
+            motion_enc_mlp = MLPLN(C, 1, 1, dtype=self.dtype, name="motion_anchor_encoder_mlp")
+            motion_enc_out = nn.Dense(C, dtype=self.dtype, name="motion_anchor_encoder_out")
+
+        # ============== output collectors ===============================
+        out: Dict[str, Dict[str, List]] = {
+            "det": {"classification": [], "prediction": [], "quality": []},
+            "map": {"classification": [], "prediction": []},
+            "ego": {"status": []},
+            "plan": {"classification": [], "prediction": []},
+            "motion": {"classification": [], "prediction": []},
+        }
+
+        det_bank_state = bank_states.det if has_temp else None
+        det_cls = map_cls = plan_cls = None
+
+        joint_feat = joint_embed = None
+        temp_joint_feat = temp_joint_embed = None
+        deform_i = 0
+        refine_i = 0
+        num_refine = cfg.operation_order.count("refine")
+        norm_i = 0
+
+        for op_idx, op in enumerate(cfg.operation_order):
+            if op == "concat":
+                joint_feat = joint(feat, cfg.query_counts)
+                joint_embed = joint(embed, cfg.query_counts)
+                if has_temp:
+                    temp_joint_feat = joint(tfeat, cfg.temp_query_counts)
+                    temp_joint_embed = joint(tembed, cfg.temp_query_counts)
+
+            elif op == "split":
+                for q in qs:
+                    s, e = cur_sections[q]
+                    feat[q] = joint_feat[:, s:e]
+                    embed[q] = joint_embed[:, s:e]
+
+            elif op == "gnn":
+                joint_feat = GroupedCrossAttention(
+                    C, cfg.num_groups, gnn_groups,
+                    attn_drop=cfg.drop_out, proj_drop=cfg.drop_out,
+                    dtype=self.dtype, name=f"gnn_{op_idx}",
+                )(joint_feat, joint_embed, cur_sections, fc_before, fc_after,
+                  deterministic=det)
+
+            elif op == "temp_gnn":
+                joint_feat = GroupedCrossAttention(
+                    C, cfg.num_groups, temp_groups,
+                    attn_drop=cfg.drop_out, proj_drop=cfg.drop_out,
+                    dtype=self.dtype, name=f"temp_gnn_{op_idx}",
+                )(joint_feat, joint_embed, cur_sections, fc_before, fc_after,
+                  key_x=temp_joint_feat if has_temp else None,
+                  key_pos=temp_joint_embed if has_temp else None,
+                  key_sections=temp_sections, deterministic=det)
+
+            elif op == "inter_gnn":
+                joint_feat = GroupedCrossAttention(
+                    C, cfg.num_groups, inter_groups,
+                    attn_drop=cfg.drop_out, proj_drop=cfg.drop_out,
+                    dtype=self.dtype, name=f"inter_gnn_{op_idx}",
+                )(joint_feat, joint_embed, cur_sections, fc_before, fc_after,
+                  key_x=joint_feat, key_pos=joint_embed,
+                  key_sections=cur_sections, deterministic=det)
+
+            elif op == "norm":
+                joint_feat = nn.LayerNorm(dtype=self.dtype, name=f"norm_{op_idx}")(joint_feat)
+                norm_i += 1
+
+            elif op == "ffn":
+                joint_feat = AsymmetricFFN(
+                    in_channels=C * 2, embed_dims=C, feedforward_channels=C * 4,
+                    ffn_drop=cfg.drop_out, dtype=self.dtype, name=f"ffn_{op_idx}",
+                )(joint_feat, deterministic=det)
+
+            elif op == "deformable":
+                common = dict(
+                    embed_dims=C, num_groups=cfg.num_groups,
+                    num_levels=cfg.num_levels, num_cams=cfg.num_cams,
+                    dtype=self.dtype,
+                )
+                feat["det"] = DeformableAggregation(
+                    kps=BoxKeypoints(cfg.det_kps, dtype=self.dtype),
+                    name=f"det_deformable_{deform_i}", **common,
+                )(feat["det"], anchor["det"], embed["det"], feature_maps,
+                  projection_mat, image_wh, deterministic=det)
+                feat["map"] = DeformableAggregation(
+                    kps=PointKeypoints(cfg.map_kps, dtype=self.dtype),
+                    name=f"map_deformable_{deform_i}", **common,
+                )(feat["map"], anchor["map"], embed["map"], feature_maps,
+                  projection_mat, image_wh, deterministic=det)
+                feat["plan"] = DeformableAggregation(
+                    kps=PointKeypoints(cfg.plan_kps, dtype=self.dtype),
+                    name=f"plan_deformable_{deform_i}", **common,
+                )(feat["plan"], anchor["plan"], embed["plan"], feature_maps,
+                  projection_mat, image_wh, deterministic=det)
+                feat["ego"] = DeformableAggregation(
+                    kps=BoxKeypoints(cfg.ego_kps, dtype=self.dtype),
+                    name=f"ego_deformable_{deform_i}", **common,
+                )(feat["ego"], anchor["ego"], embed["ego"], feature_maps,
+                  projection_mat, image_wh, deterministic=det)
+                deform_i += 1
+
+            elif op == "refine":
+                # ---- det -------------------------------------------------
+                new_det_anchor, det_cls, det_qt = SparseBox3DRefinement(
+                    cfg, cfg.num_det_classes, dtype=self.dtype,
+                    name=f"det_refine_{refine_i}",
+                )(feat["det"], anchor["det"], embed["det"], time_interval)
+                anchor["det"] = new_det_anchor
+                out["det"]["prediction"].append(anchor["det"])
+                out["det"]["classification"].append(det_cls)
+                out["det"]["quality"].append(det_qt)
+
+                if refine_i + 1 == cfg.num_single_frame_decoder and has_temp:
+                    feat["det"], anchor["det"], det_bank_state = banks.det_bank_update(
+                        cfg, det_bank_state, temp_det_feat, temp_det_anchor,
+                        feat["det"], anchor["det"], det_cls, det_mask,
+                    )
+                embed["det"] = det_enc(anchor["det"])
+                if refine_i + 1 > cfg.num_single_frame_decoder and has_temp:
+                    tembed["det"] = embed["det"][:, : cfg.num_temp_det_anchor]
+
+                # ---- map -------------------------------------------------
+                new_map_anchor, map_cls, _ = SparsePoint3DRefinement(
+                    cfg, cfg.num_map_classes, cfg.map_num_pts * 2,
+                    dtype=self.dtype, name=f"map_refine_{refine_i}",
+                )(feat["map"], anchor["map"], embed["map"])
+                anchor["map"] = new_map_anchor
+                out["map"]["prediction"].append(anchor["map"])
+                out["map"]["classification"].append(map_cls)
+                embed["map"] = map_enc(anchor["map"])
+
+                # ---- motion ----------------------------------------------
+                if "motion" in cfg.task_select:
+                    cls_ids = det_cls.argmax(axis=-1)  # [bs, n]
+                    m_anchor = motion_anchor_c[cls_ids]  # [bs, n, mode, ts, 2]
+                    m_anchor = agent_to_lidar_trajs(
+                        m_anchor, jax.lax.stop_gradient(anchor["det"])
+                    )
+                    mode_embed = sine_embed_2d(m_anchor[..., -1, :], C)
+                    mode_q = motion_enc_out(motion_enc_mlp(mode_embed))
+                    motion_q = mode_q + (feat["det"] + embed["det"])[:, :, None]
+                    m_cls, m_reg = SparseMotionRefinement(
+                        cfg, dtype=self.dtype, name=f"motion_refine_{refine_i}"
+                    )(motion_q)
+                    out["motion"]["classification"].append(m_cls)
+                    out["motion"]["prediction"].append(m_reg)
+
+                # ---- ego -------------------------------------------------
+                ego_status = EgoStatusRefinement(
+                    cfg, dtype=self.dtype, name=f"ego_refine_{refine_i}"
+                )(feat["ego"], embed["ego"])
+                out["ego"]["status"].append(ego_status)
+
+                # ---- plan ------------------------------------------------
+                plan_embed = embed["plan"]
+                if cfg.with_target_point_embed:
+                    tp = sine_embed_2d(metas["target_point"], C)  # [bs, C]
+                    plan_embed = plan_embed + tp_enc_out(tp_enc_mlp(tp))[:, None]
+                if cfg.with_command_embed:
+                    cmd = metas["gt_ego_fut_cmd"].astype(jnp.float32)
+                    plan_embed = plan_embed + cmd_enc_out(cmd_enc_mlp(cmd))[:, None]
+                if cfg.with_ego_instance_feature:
+                    feat["plan"] = feat["plan"] + feat["ego"]
+                    plan_embed = plan_embed + embed["ego"]
+
+                plan_reg, plan_cls = SparsePlanAlignRefinement(
+                    cfg, dtype=self.dtype, name=f"plan_refine_{refine_i}"
+                )(feat["plan"], anchor["plan"], plan_embed)
+                anchor["plan"] = plan_reg
+                wp = plan_reg.reshape(bs, -1, cfg.ego_fut_ts, 2)
+                offsets = jnp.concatenate(
+                    [wp[..., :1, :], wp[..., 1:, :] - wp[..., :-1, :]], axis=-2
+                )
+                out["plan"]["prediction"].append(offsets[:, None])  # [bs,1,N,ts,2]
+                out["plan"]["classification"].append(plan_cls.reshape(bs, 1, -1))
+                embed["plan"] = plan_enc(anchor["plan"])
+
+                refine_i += 1
+            else:
+                raise NotImplementedError(f"unknown op {op!r}")
+
+        # ============== cache banks for the next frame ===================
+        new_det_state, temp_conf = banks.det_bank_cache(
+            cfg,
+            det_bank_state.confidence if has_temp else None,
+            feat["det"], anchor["det"], det_cls, timestamp, metas["T_global"],
+        )
+        instance_id, new_det_state = banks.det_assign_instance_ids(
+            cfg, det_bank_state, new_det_state, temp_conf, det_cls,
+            score_threshold=None,
+        )
+        new_ego_state = banks.ego_bank_cache(feat["ego"], anchor["ego"], timestamp)
+        new_plan_state = banks.plan_bank_cache(
+            cfg,
+            bank_states.plan.confidence if has_temp else None,
+            feat["plan"], anchor["plan"], plan_cls, timestamp,
+        )
+        new_bank_states = banks.BankStates(det=new_det_state, ego=new_ego_state,
+                                           plan=new_plan_state)
+
+        outputs: Dict[str, Any] = {
+            "det": {
+                "classification": jnp.stack(out["det"]["classification"]),
+                "prediction": jnp.stack(out["det"]["prediction"]),
+                "quality": jnp.stack(out["det"]["quality"]),
+                "instance_id": instance_id,
+            },
+            "map": {
+                "classification": jnp.stack(out["map"]["classification"]),
+                "prediction": jnp.stack(out["map"]["prediction"]),
+            },
+            "ego": {"status": jnp.stack(out["ego"]["status"])},
+            "plan": {
+                "classification": jnp.stack(out["plan"]["classification"]),
+                "prediction": jnp.stack(out["plan"]["prediction"]),
+                "final_waypoints": anchor["plan"],
+            },
+        }
+        if "motion" in cfg.task_select:
+            outputs["motion"] = {
+                "classification": jnp.stack(out["motion"]["classification"]),
+                "prediction": jnp.stack(out["motion"]["prediction"]),
+            }
+        return outputs, new_bank_states

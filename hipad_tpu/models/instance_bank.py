@@ -1,0 +1,261 @@
+"""Temporal instance banks as explicit pytree state.
+
+The reference keeps temporal state as mutable module attributes
+(`models/instance_bank.py`, `models/ego/instance_bank.py`,
+`models/plan/instance_bank.py`). TPU-native, the banks are immutable
+dataclasses threaded through the jitted step:
+
+    outputs, new_state = model.apply(params, frame, state)
+
+All shapes are static; per-sample sequence resets are handled by the time
+mask (gap > max_time_interval or <= 0 resets that sample), exactly like the
+reference's ``self.mask`` mechanism. "No cache yet" (cold start) is a
+*static* condition handled by the caller passing ``state=None``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+
+from ..configs.model import HiPADConfig
+from ..core.box3d import VX
+from ..core.geometry import box_anchor_projection
+
+
+class DetBankState(flax.struct.PyTreeNode):
+    feature: jnp.ndarray  # [bs, K, C]
+    anchor: jnp.ndarray  # [bs, K, 11]
+    confidence: jnp.ndarray  # [bs, K]
+    instance_id: jnp.ndarray  # [bs, num_anchor] int32 (-1 = unassigned)
+    prev_id: jnp.ndarray  # [bs] int32 id counter
+    timestamp: jnp.ndarray  # [bs]
+    t_global: jnp.ndarray  # [bs, 4, 4]
+
+
+class EgoBankState(flax.struct.PyTreeNode):
+    feature: jnp.ndarray  # [bs, 1, C]
+    anchor: jnp.ndarray  # [bs, 1, 11]
+    timestamp: jnp.ndarray  # [bs]
+
+
+class PlanBankState(flax.struct.PyTreeNode):
+    feature: jnp.ndarray  # [bs, G*cmd, M, C]
+    anchor: jnp.ndarray  # [bs, G*cmd, M, ts*2]
+    confidence: jnp.ndarray  # [bs, G*cmd, M]
+    timestamp: jnp.ndarray  # [bs]
+
+
+class BankStates(flax.struct.PyTreeNode):
+    det: DetBankState
+    ego: EgoBankState
+    plan: PlanBankState
+
+
+def topk_gather(confidence: jnp.ndarray, k: int, *inputs):
+    """Batched top-k row selection (reference ``topk``, instance_bank.py:14-21)."""
+    conf, idx = jax.lax.top_k(confidence, k)
+    outs = [jnp.take_along_axis(x, idx[..., None], axis=1) for x in inputs]
+    return conf, outs
+
+
+import jax  # noqa: E402  (after flax.struct for readability)
+
+
+# --------------------------------------------------------------------------
+# Det bank (`models/instance_bank.py:24-229`)
+# --------------------------------------------------------------------------
+
+def det_bank_get(
+    cfg: HiPADConfig,
+    state: Optional[DetBankState],
+    batch_size: int,
+    timestamp: jnp.ndarray,
+    t_global: jnp.ndarray,
+    t_global_inv: jnp.ndarray,
+):
+    """-> (temp_feature, temp_anchor(projected to cur frame), time_interval, mask)."""
+    if state is None:
+        ti = jnp.full((batch_size,), cfg.default_time_interval, jnp.float32)
+        return None, None, ti, None
+    dt = (timestamp - state.timestamp).astype(jnp.float32)
+    mask = jnp.abs(dt) <= cfg.max_time_interval
+    t_temp2cur = jnp.einsum("bij,bjk->bik", t_global_inv, state.t_global)
+    temp_anchor = box_anchor_projection(state.anchor, t_temp2cur, time_interval=-dt)
+    ti = jnp.where(mask & (dt != 0), dt, cfg.default_time_interval)
+    return state.feature, temp_anchor, ti, mask
+
+
+def det_bank_update(
+    cfg: HiPADConfig,
+    state: DetBankState,
+    temp_feature: jnp.ndarray,
+    temp_anchor: jnp.ndarray,
+    instance_feature: jnp.ndarray,
+    anchor: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, DetBankState]:
+    """Merge temporal instances after the single-frame layer
+    (`instance_bank.py:125-162`): keep top-(N-K) fresh detections, prepend the
+    K cached instances; samples with an invalid time gap keep the fresh set
+    and zero their cached confidence."""
+    n_fresh = cfg.num_det_anchor - cfg.num_temp_det_anchor
+    conf = cls_logits.max(axis=-1)
+    _, (sel_feat, sel_anchor) = topk_gather(conf, n_fresh, instance_feature, anchor)
+    merged_feat = jnp.concatenate([temp_feature, sel_feat], axis=1)
+    merged_anchor = jnp.concatenate([temp_anchor, sel_anchor], axis=1)
+    out_feat = jnp.where(mask[:, None, None], merged_feat, instance_feature)
+    out_anchor = jnp.where(mask[:, None, None], merged_anchor, anchor)
+    new_state = state.replace(
+        confidence=jnp.where(mask[:, None], state.confidence, 0.0),
+        instance_id=jnp.where(mask[:, None], state.instance_id, -1),
+    )
+    return out_feat, out_anchor, new_state
+
+
+def det_bank_cache(
+    cfg: HiPADConfig,
+    prev_confidence: Optional[jnp.ndarray],
+    instance_feature: jnp.ndarray,
+    anchor: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    timestamp: jnp.ndarray,
+    t_global: jnp.ndarray,
+) -> Tuple[DetBankState, jnp.ndarray]:
+    """Cache top-K instances with confidence decay (`instance_bank.py:164-196`).
+
+    Returns (state-without-ids, temp_confidence) — instance ids are filled in
+    by ``det_assign_instance_ids`` afterwards.
+    """
+    k = cfg.num_temp_det_anchor
+    conf = jax.nn.sigmoid(cls_logits.max(axis=-1))
+    cls_ids = cls_logits.argmax(axis=-1)
+    if prev_confidence is not None:
+        decayed = jnp.maximum(prev_confidence * cfg.confidence_decay, conf[:, :k])
+        conf = jnp.concatenate([decayed, conf[:, k:]], axis=1)
+    temp_confidence = conf
+    new_conf, (feat, anc, ids) = topk_gather(
+        conf, k,
+        jax.lax.stop_gradient(instance_feature),
+        jax.lax.stop_gradient(anchor),
+        cls_ids[..., None],
+    )
+    # Zero velocity for static classes (`instance_bank.py:191-196`).
+    is_static = jnp.isin(ids[..., 0], jnp.asarray(cfg.zero_velocity_class_ids))
+    anc = anc.at[..., VX:].set(jnp.where(is_static[..., None], 0.0, anc[..., VX:]))
+    bs = anchor.shape[0]
+    state = DetBankState(
+        feature=feat,
+        anchor=anc,
+        confidence=new_conf,
+        instance_id=jnp.full((bs, cfg.num_det_anchor), -1, jnp.int32),
+        prev_id=jnp.zeros((bs,), jnp.int32),
+        timestamp=timestamp,
+        t_global=t_global,
+    )
+    return state, temp_confidence
+
+
+def det_assign_instance_ids(
+    cfg: HiPADConfig,
+    old_state: Optional[DetBankState],
+    new_state: DetBankState,
+    temp_confidence: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    score_threshold: Optional[float] = None,
+) -> Tuple[jnp.ndarray, DetBankState]:
+    """Persistent tracking ids (`instance_bank.py:199-228`).
+
+    Anchors carrying a cached id keep it; unassigned anchors (optionally above
+    a score threshold) receive fresh sequential ids. The ids of the top-K
+    (by temp confidence) are cached for the next frame.
+    """
+    bs = cls_logits.shape[0]
+    n = cfg.num_det_anchor
+    k = cfg.num_temp_det_anchor
+    conf = jax.nn.sigmoid(cls_logits.max(axis=-1))
+    if old_state is not None:
+        instance_id = old_state.instance_id
+        prev_id = old_state.prev_id
+    else:
+        instance_id = jnp.full((bs, n), -1, jnp.int32)
+        prev_id = jnp.zeros((bs,), jnp.int32)
+    need = instance_id < 0
+    if score_threshold is not None:
+        need = need & (conf >= score_threshold)
+    new_ids = prev_id[:, None] + jnp.cumsum(need, axis=1) - 1
+    instance_id = jnp.where(need, new_ids, instance_id)
+    prev_id = prev_id + need.sum(axis=1)
+    # keep ids of the cached top-K, pad to num_anchor with -1
+    _, (kept,) = topk_gather(temp_confidence, k, instance_id[..., None])
+    cached_ids = jnp.concatenate(
+        [kept[..., 0], jnp.full((bs, n - k), -1, jnp.int32)], axis=1
+    )
+    return instance_id, new_state.replace(instance_id=cached_ids, prev_id=prev_id)
+
+
+# --------------------------------------------------------------------------
+# Ego bank (`models/ego/instance_bank.py:24-190`): single anchor, cached
+# feature/anchor used as temporal keys, no projection (no anchor handler in
+# the shipped config).
+# --------------------------------------------------------------------------
+
+def ego_bank_get(state: Optional[EgoBankState]):
+    if state is None:
+        return None, None
+    return state.feature, state.anchor
+
+
+def ego_bank_cache(instance_feature, anchor, timestamp) -> EgoBankState:
+    return EgoBankState(
+        feature=jax.lax.stop_gradient(instance_feature),
+        anchor=jax.lax.stop_gradient(anchor),
+        timestamp=timestamp,
+    )
+
+
+# --------------------------------------------------------------------------
+# Plan bank (`models/plan/instance_bank.py:24-262`): per (anchor-group x cmd)
+# block of modes, cached with confidence decay; cached anchors are ego-relative
+# trajectories and are *not* ego-motion compensated (reference behaviour).
+# --------------------------------------------------------------------------
+
+def plan_bank_get(cfg: HiPADConfig, state: Optional[PlanBankState]):
+    if state is None:
+        return None, None
+    bs = state.feature.shape[0]
+    temp_feat = state.feature.reshape(bs, -1, state.feature.shape[-1])
+    temp_anchor = state.anchor.reshape(bs, -1, cfg.ego_fut_ts * 2)
+    return temp_feat, temp_anchor
+
+
+def plan_bank_cache(
+    cfg: HiPADConfig,
+    prev_confidence: Optional[jnp.ndarray],
+    instance_feature: jnp.ndarray,
+    anchor: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    timestamp: jnp.ndarray,
+) -> PlanBankState:
+    bs = anchor.shape[0]
+    g = cfg.plan_anchor_group * cfg.ego_fut_cmd
+    m = cfg.ego_fut_mode
+    k = cfg.num_temp_plan_mode
+    d = instance_feature.shape[-1]
+    feat = jax.lax.stop_gradient(instance_feature).reshape(bs * g, m, d)
+    anc = jax.lax.stop_gradient(anchor).reshape(bs * g, m, cfg.ego_fut_ts * 2)
+    conf = jax.nn.sigmoid(jax.lax.stop_gradient(cls_logits).reshape(bs * g, m))
+    if prev_confidence is not None:
+        prev = prev_confidence.reshape(bs * g, k)
+        decayed = jnp.maximum(prev * cfg.confidence_decay, conf[:, :k])
+        conf = jnp.concatenate([decayed, conf[:, k:]], axis=1)
+    new_conf, (cf, ca) = topk_gather(conf, k, feat, anc)
+    return PlanBankState(
+        feature=cf.reshape(bs, g, k, d),
+        anchor=ca.reshape(bs, g, k, cfg.ego_fut_ts * 2),
+        confidence=new_conf.reshape(bs, g, k),
+        timestamp=timestamp,
+    )
