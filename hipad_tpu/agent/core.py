@@ -1,0 +1,184 @@
+"""CARLA-independent closed-loop agent core.
+
+Behavioural port of ``SparseAgent.run_step`` (`bench2drive/leaderboard/
+team_code/hipad_b2d_agent.py:456-615`) with the simulator I/O factored out:
+``AgentCore.run_step(obs)`` takes a plain observation dict and returns a
+control dict — the CARLA adapter and the replay harness both feed it.
+
+Closed-loop temporal alignment: the reference deep-copies
+``close_loop_hz / open_loop_hz = 20/2 = 10`` instance banks and round-robins
+``bank_idx = step % 10`` (`models/sparse_onedecoder.py:396-426,482`) so each
+bank sees an effective 2 Hz stream. Functionally that is just a *list of bank
+states* held by the agent — the jitted step itself never changes.
+
+Input JPEG compression at quality 20 (`hipad_b2d_agent.py:366-372`) is part
+of the train/test distribution and is reproduced with PIL.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.model import HiPADConfig
+from ..data import pipelines as pp
+from ..models.detector import HiPAD
+from .. import postprocess
+from .calib import CAMERAS, LIDAR2EGO, stacked_lidar2img
+from .pid import PIDController
+
+FRAME_RATE = 20  # Hz, `hipad_b2d_agent.py:249`
+CLOSE_LOOP_BANKS = 10  # 20 Hz sim / 2 Hz training
+
+
+def jpeg_roundtrip(img_rgb: np.ndarray, quality: int = 20) -> np.ndarray:
+    """Encode-decode at low JPEG quality (`hipad_b2d_agent.py:366-372`)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return img_rgb
+    buf = io.BytesIO()
+    Image.fromarray(img_rgb.astype(np.uint8)).save(buf, "JPEG", quality=quality)
+    buf.seek(0)
+    return np.asarray(Image.open(buf).convert("RGB"))
+
+
+class AgentCore:
+    """Stateful streaming inference + PID control.
+
+    Args:
+      cfg: model config (stage2).
+      variables: flax variables of a trained ``HiPAD``.
+      dtype: compute dtype for the jitted forward (bf16 on TPU).
+    """
+
+    def __init__(self, cfg: HiPADConfig, variables, dtype=jnp.bfloat16,
+                 jpeg_quality: Optional[int] = 20, with_rescore: bool = True):
+        self.cfg = cfg
+        self.variables = variables
+        self.model = HiPAD(cfg, dtype=dtype)
+        self.pid = PIDController(waypoint_time=0.2)
+        self.banks: List = [None] * CLOSE_LOOP_BANKS
+        self.step = -1
+        self.last_steer = 0.0
+        self.jpeg_quality = jpeg_quality
+        self.with_rescore = with_rescore
+        self.metric_info: Dict[int, Dict] = {}
+
+        self.aug = pp.sample_aug_config(test_mode=True)
+        mat = pp.img_transform_matrix(self.aug)
+        self.lidar2img = (mat[None] @ stacked_lidar2img()).astype(np.float32)
+        h, w = pp.DATA_AUG_CONF["final_dim"]
+        self.image_wh = np.tile(np.array([w, h], np.float32), (len(CAMERAS), 1))
+
+        def fwd(variables, images, metas, banks):
+            outputs, new_banks = self.model.apply(variables, images, metas,
+                                                  banks, train=False)
+            decoded = postprocess.post_process_arrays(
+                cfg, outputs, metas["gt_ego_fut_cmd"], with_rescore
+            )
+            return decoded, new_banks
+
+        self._fwd = jax.jit(fwd)
+
+    # ---- observation -> metas (mirrors `hipad_b2d_agent.py:462-549`) -------
+
+    def _build_inputs(self, obs: Dict) -> Dict[str, jnp.ndarray]:
+        pos = np.array([obs["pos"][0], -obs["pos"][1]])
+        raw_theta = obs.get("compass", 0.0)
+        if np.isnan(raw_theta):
+            raw_theta = 0.0
+        ego_theta = -raw_theta + np.pi / 2
+
+        accel = np.asarray(obs.get("acceleration", np.zeros(3)))
+        ang_vel = -np.asarray(obs.get("angular_velocity", np.zeros(3)))
+        status = np.zeros(6, np.float32)
+        status[0] = obs["speed"]
+        status[1] = accel[0]
+        status[2] = -accel[1]
+        status[3:5] = ang_vel[:2]
+        status[5] = self.last_steer
+
+        cmd = int(obs.get("command", 4))
+        if cmd < 0:
+            cmd = 4
+        cmd_onehot = np.zeros(6, np.float32)
+        cmd_onehot[cmd - 1] = 1.0
+
+        target_xy = np.array([obs["target_xy"][0], -obs["target_xy"][1]]) - pos
+        rot = np.array([[np.cos(raw_theta), -np.sin(raw_theta)],
+                        [np.sin(raw_theta), np.cos(raw_theta)]])
+        target_point = (rot @ target_xy).astype(np.float32)
+
+        ego2world = np.eye(4)
+        c, s = np.cos(ego_theta), np.sin(ego_theta)
+        ego2world[:2, :2] = [[c, -s], [s, c]]
+        ego2world[0:2, 3] = pos
+        lidar2global = (ego2world @ LIDAR2EGO).astype(np.float32)
+
+        imgs = []
+        for cam in CAMERAS:
+            img = obs["images"][cam]
+            if self.jpeg_quality is not None:
+                img = jpeg_roundtrip(img, self.jpeg_quality)
+            imgs.append(img[..., ::-1].astype(np.float32))  # RGB -> BGR
+        imgs = np.stack(imgs)
+        # self.lidar2img already carries the resize/crop transform.
+        identity = np.tile(np.eye(4, dtype=np.float32), (len(CAMERAS), 1, 1))
+        imgs, _ = pp.resize_crop_flip(list(imgs), identity, self.aug)
+        imgs = pp.normalize_image(imgs)
+
+        metas = {
+            "timestamp": np.full((1,), self.step / FRAME_RATE, np.float32),
+            "projection_mat": self.lidar2img[None],
+            "image_wh": self.image_wh[None],
+            "T_global": lidar2global[None],
+            "T_global_inv": np.linalg.inv(lidar2global)[None].astype(np.float32),
+            "target_point": target_point[None],
+            "gt_ego_fut_cmd": cmd_onehot[None],
+        }
+        return imgs[None], metas, target_point
+
+    # ---- one simulator tick --------------------------------------------------
+
+    def run_step(self, obs: Dict) -> Dict:
+        """obs: {"images": {cam: HxWx3 RGB uint8}, "pos": [x, y] (CARLA),
+        "speed": m/s, "compass": rad, "acceleration": [3],
+        "angular_velocity": [3], "target_xy": [2] (CARLA world),
+        "command": int}.
+
+        Returns {"steer", "throttle", "brake", "metadata"}.
+        """
+        self.step += 1
+        images, metas, target_point = self._build_inputs(obs)
+        images = jnp.asarray(images)
+        metas = {k: jnp.asarray(v) for k, v in metas.items()}
+
+        bank_idx = self.step % CLOSE_LOOP_BANKS
+        decoded, new_bank = self._fwd(self.variables, images, metas,
+                                      self.banks[bank_idx])
+        self.banks[bank_idx] = new_bank
+
+        temp = np.asarray(decoded["plan_speed_5hz"][0], np.float64)
+        spat = np.asarray(decoded.get("plan_spat_2m", decoded["plan_speed_5hz"])[0],
+                          np.float64)
+        steer, throttle, brake, meta = self.pid.control_pid(
+            temp, spat, float(obs["speed"]), target_point
+        )
+        if brake < 0.05:
+            brake = 0.0
+        if throttle > brake:
+            brake = 0.0
+        steer = float(np.clip(steer, -1, 1))
+        throttle = float(np.clip(throttle, 0, 0.75))
+        brake = float(np.clip(brake, 0, 1))
+        self.last_steer = steer
+        meta.update({"plan_temp": temp.tolist(), "plan_spat": spat.tolist(),
+                     "command": int(obs.get("command", 4))})
+        self.metric_info[self.step] = meta
+        return {"steer": steer, "throttle": throttle, "brake": brake,
+                "metadata": meta}

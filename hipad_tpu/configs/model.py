@@ -38,7 +38,12 @@ DET_CLASS_NAMES = (
 )
 MAP_CLASS_NAMES = ("Broken", "Solid", "SolidSolid", "Center")
 
-REFERENCE_KMEANS_DIR = "/root/reference/data/kmeans"
+# K-means anchor data assets (shipped with the repo; regenerate with
+# tools/kmeans.py from a dataset).
+REFERENCE_KMEANS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data", "kmeans",
+)
 
 
 @dataclasses.dataclass(frozen=True)

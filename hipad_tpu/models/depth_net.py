@@ -35,13 +35,24 @@ class DenseDepthNet(nn.Module):
         return depths
 
     def loss(self, depth_preds, gt_depths):
-        """Masked L1; gt <= 0 marks invalid pixels (`models/blocks.py:306-325`)."""
-        total = 0.0
-        for pred, gt in zip(depth_preds, gt_depths):
-            pred = pred.reshape(-1)
-            gt = gt.reshape(-1)
-            fg = (gt > 0.0) & jnp.isfinite(pred)
-            pred = jnp.clip(jnp.where(fg, pred, 0.0), 0.0, self.max_depth)
-            err = jnp.abs(pred - jnp.where(fg, gt, 0.0)).sum()
-            total = total + err / jnp.maximum(1.0, fg.sum() * len(depth_preds)) * self.loss_weight
-        return total
+        return dense_depth_loss(depth_preds, gt_depths,
+                                max_depth=self.max_depth,
+                                loss_weight=self.loss_weight)
+
+
+def dense_depth_loss(depth_preds, gt_depths, max_depth: float = 60.0,
+                     loss_weight: float = 0.2):
+    """Masked L1; gt <= 0 marks invalid pixels (`models/blocks.py:306-325`).
+
+    Standalone (not a module method) so the training loss can call it without
+    being inside ``apply``.
+    """
+    total = 0.0
+    for pred, gt in zip(depth_preds, gt_depths):
+        pred = pred.reshape(-1)
+        gt = gt.reshape(-1)
+        fg = (gt > 0.0) & jnp.isfinite(pred)
+        pred = jnp.clip(jnp.where(fg, pred, 0.0), 0.0, max_depth)
+        err = jnp.abs(pred - jnp.where(fg, gt, 0.0)).sum()
+        total = total + err / jnp.maximum(1.0, fg.sum() * len(depth_preds)) * loss_weight
+    return total

@@ -54,6 +54,43 @@ class BankStates(flax.struct.PyTreeNode):
     plan: PlanBankState
 
 
+def init_bank_states(cfg: HiPADConfig, batch_size: int, embed_dims: int | None = None) -> "BankStates":
+    """Zeroed cold-start bank state.
+
+    Functionally equivalent to the first frame's ``state=None`` path (zero
+    confidence + a timestamp far in the past makes every sample fail the
+    ``max_time_interval`` check, so cached content is ignored), but lets
+    callers jit a *single* temporal-step variant instead of two.
+    """
+    C = embed_dims or cfg.embed_dims
+    bs = batch_size
+    t_old = jnp.full((bs,), -1e9, jnp.float32)
+    det = DetBankState(
+        feature=jnp.zeros((bs, cfg.num_temp_det_anchor, C)),
+        anchor=jnp.zeros((bs, cfg.num_temp_det_anchor, 11)),
+        confidence=jnp.zeros((bs, cfg.num_temp_det_anchor)),
+        instance_id=jnp.full((bs, cfg.num_det_anchor), -1, jnp.int32),
+        prev_id=jnp.zeros((bs,), jnp.int32),
+        timestamp=t_old,
+        t_global=jnp.tile(jnp.eye(4)[None], (bs, 1, 1)),
+    )
+    ego = EgoBankState(
+        feature=jnp.zeros((bs, 1, C)),
+        anchor=jnp.asarray(
+            jnp.tile(jnp.asarray(cfg.ego_anchor_init)[None], (bs, 1, 1))
+        ),
+        timestamp=t_old,
+    )
+    g = cfg.plan_anchor_group * cfg.ego_fut_cmd
+    plan = PlanBankState(
+        feature=jnp.zeros((bs, g, cfg.num_temp_plan_mode, C)),
+        anchor=jnp.zeros((bs, g, cfg.num_temp_plan_mode, cfg.ego_fut_ts * 2)),
+        confidence=jnp.zeros((bs, g, cfg.num_temp_plan_mode)),
+        timestamp=t_old,
+    )
+    return BankStates(det=det, ego=ego, plan=plan)
+
+
 def topk_gather(confidence: jnp.ndarray, k: int, *inputs):
     """Batched top-k row selection (reference ``topk``, instance_bank.py:14-21)."""
     conf, idx = jax.lax.top_k(confidence, k)

@@ -1,0 +1,114 @@
+"""Detection target assignment (TPU port of ``SparseBox3DTarget``,
+`models/det/target.py:15-162`).
+
+Ground truth arrives padded to a fixed capacity ``max_gt`` with a validity
+mask — no python lists, no per-sample shapes. The matcher runs on device
+(`matching.assign`); the scatter back to per-anchor targets uses
+out-of-range-drop semantics for padding rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.box3d import encode_box
+from . import matching
+
+# Hungarian cost hyper-parameters (stage2 config:425-431).
+CLS_COST_WEIGHT = 2.0
+BOX_COST_WEIGHT = 0.25
+MATCH_REG_WEIGHTS = (2.0,) * 3 + (0.5,) * 3 + (0.0,) * 4
+# traffic_cone's per-state reg weight override (config:428-430).
+CONE_CLASS_ID = 5
+CONE_REG_WEIGHTS = (2.0, 2.0, 2.0, 1.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0)
+
+FOCAL_ALPHA = 0.25
+FOCAL_GAMMA = 2.0
+_EPS = 1e-12
+
+
+def focal_cls_cost(
+    cls_pred: jnp.ndarray, gt_labels: jnp.ndarray, weight: float = 1.0
+) -> jnp.ndarray:
+    """Focal-loss classification cost (`det/target.py:123-147`).
+
+    Args:
+      cls_pred: [bs, P, num_cls] logits.
+      gt_labels: [bs, G] int labels.
+    Returns:
+      [bs, G, P] cost (note: rows = GT).
+    """
+    p = jax.nn.sigmoid(cls_pred)
+    neg = -jnp.log1p(-p + _EPS) * (1.0 - FOCAL_ALPHA) * p**FOCAL_GAMMA
+    pos = -jnp.log(p + _EPS) * FOCAL_ALPHA * (1.0 - p) ** FOCAL_GAMMA
+    delta = pos - neg  # [bs, P, num_cls]
+    cost = jnp.take_along_axis(
+        delta, gt_labels[:, None, :].astype(jnp.int32), axis=-1
+    )  # [bs, P, G]
+    return jnp.transpose(cost, (0, 2, 1)) * weight
+
+
+def det_target(
+    cls_pred: jnp.ndarray,
+    box_pred: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    num_cls: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hungarian-match GT boxes to anchors and scatter targets.
+
+    Args:
+      cls_pred: [bs, P, num_cls] logits.
+      box_pred: [bs, P, 11] undecoded box states.
+      gt_labels: [bs, G] int labels (padding value arbitrary).
+      gt_boxes: [bs, G, >=7] decoded GT boxes (x,y,z,w,l,h,yaw[,vx,vy,vz]).
+      gt_mask: [bs, G] bool validity.
+      num_cls: number of foreground classes (background target = num_cls).
+
+    Returns:
+      cls_target [bs, P] int32 (num_cls for unmatched),
+      box_target [bs, P, 11],
+      reg_weights [bs, P, 11],
+      col4gt [bs, G] int32 — matched anchor per GT (-1 invalid; reused by the
+        motion loss exactly like the reference caches ``self.indices``).
+    """
+    bs, P, _ = cls_pred.shape
+    G = gt_labels.shape[1]
+    enc_raw = encode_box(gt_boxes)  # [bs, G, D] (D=10 for 9-dim decoded GT)
+    D = enc_raw.shape[-1]
+    enc = jnp.nan_to_num(enc_raw, nan=0.0, posinf=0.0, neginf=0.0)
+
+    # Per-instance reg weights: NaN components get 0, traffic cones get their
+    # class-specific override (`det/target.py:80-92`) in the 10-dim loss
+    # layout [x y z w l h sin cos vx vy].
+    nan_w = jnp.where(jnp.isnan(enc_raw), 0.0, 1.0)
+    cone_w = jnp.asarray(CONE_REG_WEIGHTS[:D], jnp.float32)
+    inst_w = jnp.where(
+        (gt_labels == CONE_CLASS_ID)[..., None], cone_w[None, None], nan_w
+    )  # [bs, G, D]
+
+    match_w = jnp.asarray(MATCH_REG_WEIGHTS[:D], jnp.float32)
+    diff = jnp.abs(box_pred[:, None, :, :D] - enc[:, :, None, :])  # [bs,G,P,D]
+    box_cost = jnp.sum(diff * inst_w[:, :, None, :] * match_w, axis=-1) * BOX_COST_WEIGHT
+
+    cost = focal_cls_cost(cls_pred, gt_labels, CLS_COST_WEIGHT) + box_cost  # [bs, G, P]
+    col4gt = matching.assign(cost, gt_mask)  # [bs, G]
+
+    safe_col = jnp.where(col4gt >= 0, col4gt, P)  # P = drop
+    cls_target = jnp.full((bs, P), num_cls, jnp.int32)
+    box_target = jnp.zeros((bs, P, D), box_pred.dtype)
+    reg_weights = jnp.zeros((bs, P, D), box_pred.dtype)
+
+    bidx = jnp.arange(bs)[:, None]
+    cls_target = cls_target.at[bidx, safe_col].set(
+        gt_labels.astype(jnp.int32), mode="drop"
+    )
+    box_target = box_target.at[bidx, safe_col].set(enc.astype(box_pred.dtype), mode="drop")
+    reg_weights = reg_weights.at[bidx, safe_col].set(
+        inst_w.astype(box_pred.dtype), mode="drop"
+    )
+    return cls_target, box_target, reg_weights, col4gt
