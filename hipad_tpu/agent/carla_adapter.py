@@ -1,0 +1,142 @@
+"""Thin CARLA leaderboard adapter around ``AgentCore``.
+
+Counterpart of ``SparseAgent`` (`bench2drive/leaderboard/team_code/
+hipad_b2d_agent.py:161-837`) minus the model/PID logic, which lives in
+`core.py`. Importable only where the `leaderboard` + `carla` packages exist
+(the Bench2Drive evaluation machines); everything above this file runs
+without them.
+
+Config string (leaderboard convention): "<orbax_ckpt_dir>+<save_name>".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .calib import CAMERAS
+from .core import AgentCore
+
+
+def get_entry_point():
+    return "HiPADTpuAgent"
+
+
+def _sensor_specs():
+    """Sensor rig (`hipad_b2d_agent.py:162-239`)."""
+    from .calib import CAMERA_RIG, IMG_H, IMG_W
+
+    sensors = []
+    for cam, (x, y, z, yaw, fov) in CAMERA_RIG.items():
+        sensors.append({
+            "type": "sensor.camera.rgb", "x": x, "y": y, "z": z,
+            "roll": 0.0, "pitch": 0.0, "yaw": yaw,
+            "width": IMG_W, "height": IMG_H, "fov": fov, "id": cam,
+        })
+    sensors += [
+        {"type": "sensor.other.imu", "x": -1.4, "y": 0.0, "z": 0.0,
+         "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.05, "id": "IMU"},
+        {"type": "sensor.other.gnss", "x": -1.4, "y": 0.0, "z": 0.0,
+         "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.01, "id": "GPS"},
+        {"type": "sensor.speedometer", "reading_frequency": 20, "id": "SPEED"},
+    ]
+    return sensors
+
+
+try:
+    import carla  # noqa: F401
+    from leaderboard.autoagents import autonomous_agent
+
+    _HAVE_CARLA = True
+except ImportError:
+    _HAVE_CARLA = False
+
+    class autonomous_agent:  # type: ignore
+        class AutonomousAgent:
+            def __init__(self, *a, **k):
+                pass
+
+        class Track:
+            SENSORS = "SENSORS"
+
+
+class HiPADTpuAgent(autonomous_agent.AutonomousAgent):
+    def setup(self, path_to_conf_file):
+        import jax
+
+        from ..configs.model import stage2
+        from ..train import checkpoint, optim
+        from ..train.train_step import create_train_state
+
+        self.track = autonomous_agent.Track.SENSORS
+        parts = path_to_conf_file.split("+")
+        ckpt_dir = parts[0]
+        self.save_name = parts[-1] if len(parts) > 1 else "hipad_tpu"
+
+        cfg = stage2()
+        tx = optim.make_optimizer(total_steps=1)
+        _, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
+        if ckpt_dir and os.path.isdir(ckpt_dir):
+            state = checkpoint.load_params_only(ckpt_dir, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        self.core = AgentCore(cfg, variables)
+        self._route_planner = None
+        self.save_path = Path(os.environ.get("SAVE_PATH", ".")) / self.save_name
+        self.save_path.mkdir(parents=True, exist_ok=True)
+        self.lat_ref, self.lon_ref = 42.0, 2.0
+
+    def sensors(self):
+        return _sensor_specs()
+
+    def gps_to_location(self, gps):
+        EARTH_RADIUS = 6371000.0
+        lat, lon = gps
+        scale = np.cos(self.lat_ref * np.pi / 180.0)
+        x = scale * lon * np.pi * EARTH_RADIUS / 180.0
+        y = scale * EARTH_RADIUS * np.log(np.tan((90.0 + lat) * np.pi / 360.0))
+        return np.array([x, y])
+
+    def run_step(self, input_data, timestamp):
+        if self._route_planner is None:
+            from team_code.planner import RoutePlanner
+
+            self._route_planner = RoutePlanner(4.0, 50.0)
+            self._route_planner.set_route(self._global_plan, True)
+
+        gps = input_data["GPS"][1][:2]
+        pos = self.gps_to_location(gps)
+        routes = self._route_planner.run_step(pos)
+        if len(routes) >= 2:
+            target_xy, command = routes[1][0], routes[0][1]
+        else:
+            target_xy, command = routes[0][0], routes[0][1]
+
+        obs = {
+            "images": {cam: input_data[cam][1][:, :, :3][..., ::-1]  # BGRA->RGB
+                       for cam in CAMERAS},
+            "pos": pos,
+            "speed": input_data["SPEED"][1]["speed"],
+            "compass": input_data["IMU"][1][-1],
+            "acceleration": np.asarray(input_data["IMU"][1][:3]),
+            "angular_velocity": np.asarray(input_data["IMU"][1][3:6]),
+            "target_xy": np.asarray(target_xy),
+            "command": int(command),
+        }
+        out = self.core.run_step(obs)
+
+        with open(self.save_path / "metric_info.json", "w") as f:
+            json.dump(self.core.metric_info, f, indent=2, default=float)
+
+        if _HAVE_CARLA:
+            control = carla.VehicleControl()
+            control.steer = out["steer"]
+            control.throttle = out["throttle"]
+            control.brake = out["brake"]
+            return control
+        return out
+
+    def destroy(self):
+        self.core = None

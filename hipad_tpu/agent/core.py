@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs.model import HiPADConfig
+from ..data import native
 from ..data import pipelines as pp
 from ..models.detector import HiPAD
 from .. import postprocess
@@ -57,22 +58,24 @@ class AgentCore:
     """
 
     def __init__(self, cfg: HiPADConfig, variables, dtype=jnp.bfloat16,
-                 jpeg_quality: Optional[int] = 20, with_rescore: bool = True):
+                 jpeg_quality: Optional[int] = 20, with_rescore: bool = True,
+                 aug_conf: Optional[Dict] = None, n_banks: int = CLOSE_LOOP_BANKS):
         self.cfg = cfg
         self.variables = variables
         self.model = HiPAD(cfg, dtype=dtype)
         self.pid = PIDController(waypoint_time=0.2)
-        self.banks: List = [None] * CLOSE_LOOP_BANKS
+        self.banks: List = [None] * n_banks
         self.step = -1
         self.last_steer = 0.0
         self.jpeg_quality = jpeg_quality
         self.with_rescore = with_rescore
         self.metric_info: Dict[int, Dict] = {}
 
-        self.aug = pp.sample_aug_config(test_mode=True)
+        self.aug_conf = aug_conf or pp.DATA_AUG_CONF
+        self.aug = pp.sample_aug_config(self.aug_conf, test_mode=True)
         mat = pp.img_transform_matrix(self.aug)
         self.lidar2img = (mat[None] @ stacked_lidar2img()).astype(np.float32)
-        h, w = pp.DATA_AUG_CONF["final_dim"]
+        h, w = self.aug_conf["final_dim"]
         self.image_wh = np.tile(np.array([w, h], np.float32), (len(CAMERAS), 1))
 
         def fwd(variables, images, metas, banks):
@@ -120,17 +123,22 @@ class AgentCore:
         ego2world[0:2, 3] = pos
         lidar2global = (ego2world @ LIDAR2EGO).astype(np.float32)
 
-        imgs = []
+        raw = []
         for cam in CAMERAS:
             img = obs["images"][cam]
             if self.jpeg_quality is not None:
                 img = jpeg_roundtrip(img, self.jpeg_quality)
-            imgs.append(img[..., ::-1].astype(np.float32))  # RGB -> BGR
-        imgs = np.stack(imgs)
-        # self.lidar2img already carries the resize/crop transform.
-        identity = np.tile(np.eye(4, dtype=np.float32), (len(CAMERAS), 1, 1))
-        imgs, _ = pp.resize_crop_flip(list(imgs), identity, self.aug)
-        imgs = pp.normalize_image(imgs)
+            raw.append(img[..., ::-1])  # RGB -> BGR
+        imgs = native.preprocess_cameras(
+            np.stack(raw).astype(np.uint8), self.aug
+        )
+        if imgs is None:  # numpy fallback (native lib not built)
+            # self.lidar2img already carries the resize/crop transform.
+            identity = np.tile(np.eye(4, dtype=np.float32), (len(CAMERAS), 1, 1))
+            imgs, _ = pp.resize_crop_flip(
+                [r.astype(np.float32) for r in raw], identity, self.aug
+            )
+            imgs = pp.normalize_image(imgs)
 
         metas = {
             "timestamp": np.full((1,), self.step / FRAME_RATE, np.float32),
@@ -158,7 +166,7 @@ class AgentCore:
         images = jnp.asarray(images)
         metas = {k: jnp.asarray(v) for k, v in metas.items()}
 
-        bank_idx = self.step % CLOSE_LOOP_BANKS
+        bank_idx = self.step % len(self.banks)
         decoded, new_bank = self._fwd(self.variables, images, metas,
                                       self.banks[bank_idx])
         self.banks[bank_idx] = new_bank

@@ -21,17 +21,20 @@ from .core import FRAME_RATE, AgentCore
 class FakeSim:
     """Straight-road kinematic world in CARLA conventions."""
 
-    def __init__(self, route_length: float = 100.0, seed: int = 0):
+    def __init__(self, route_length: float = 100.0, seed: int = 0,
+                 img_hw=(IMG_H, IMG_W)):
         self.rng = np.random.RandomState(seed)
         self.route_length = route_length
+        self.img_hw = img_hw
         self.pos = np.zeros(2)  # CARLA frame (y right)
         self.yaw = 0.0  # CARLA compass=0 -> facing +x? compass handled below
         self.speed = 0.0
         self.t = 0
 
     def observe(self) -> Dict:
+        h, w = self.img_hw
         images = {
-            cam: self.rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+            cam: self.rng.randint(0, 255, (h, w, 3), np.uint8)
             for cam in CAMERAS
         }
         target = np.array([min(self.pos[0] + 20.0, self.route_length), 0.0])

@@ -163,6 +163,11 @@ class HiPADConfig:
     confidence_decay: float = 0.6
     det_feat_grad: bool = False
 
+    # --- optional interactive-attention biases (OFF in shipped configs,
+    # `sparse_onedecoder.py:581-610`; see models/attn_masks.py) -------------
+    with_distance_attn_mask: bool = False
+    with_velocity_attn_mask: bool = False
+
     # --- misc --------------------------------------------------------------
     cls_threshold_to_reg: float = 0.05
 

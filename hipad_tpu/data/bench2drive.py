@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..configs.model import DET_CLASS_NAMES, MAP_CLASS_NAMES
+from . import native
 from . import pipelines as pp
 
 # CARLA actor type -> detection class (`bench2drive_dataset.py:27-118`).
@@ -143,6 +144,11 @@ class Bench2DriveDataset:
             self.data_infos = pickle.load(f)
         if isinstance(self.data_infos, dict) and "infos" in self.data_infos:
             self.data_infos = self.data_infos["infos"]
+        # CARLA actor type -> detection class (`bench2drive_dataset.py:761-765`)
+        for info in self.data_infos:
+            info["gt_names"] = np.array(
+                [NAME_MAPPING.get(n, n) for n in info["gt_names"]]
+            )
         self.map_infos = {}
         if map_file and osp.exists(map_file):
             with open(map_file, "rb") as f:
@@ -247,7 +253,10 @@ class Bench2DriveDataset:
         w2l_cur = cur["sensors"]["LIDAR_TOP"]["world2lidar"]
         positions = []
         a = idx
-        while True:
+        # The group-walk index arithmetic can alias between groups at sequence
+        # ends (same as upstream); real datasets terminate on the folder
+        # change — the step bound makes single-sequence data safe too.
+        for _ in range(len(self.data_infos)):
             a = self._next_index(a)
             if not (0 <= a < len(self.data_infos)):
                 break
@@ -687,10 +696,22 @@ class Bench2DriveDataset:
         data.update(self.get_ann_info(idx))
 
         imgs = self.load_images(data["img_filename"])
-        imgs, lidar2img = pp.resize_crop_flip(imgs, data["lidar2img"], aug_config)
-        if not self.test_mode and distortion is not None:
-            imgs = pp.photometric_distortion(imgs, distortion)
-        imgs = pp.normalize_image(imgs)
+        # Native fused path (resize+crop+flip+normalize in C++) when no
+        # photometric distortion / rotation is active; numpy otherwise.
+        use_native = (self.test_mode or distortion is None) and not aug_config.get("rotate")
+        native_out = (
+            native.preprocess_cameras(imgs.astype(np.uint8), aug_config)
+            if use_native else None
+        )
+        lidar2img = (pp.img_transform_matrix(aug_config)[None]
+                     @ data["lidar2img"]).astype(np.float32)
+        if native_out is not None:
+            imgs = native_out
+        else:
+            imgs, _ = pp.resize_crop_flip(imgs, data["lidar2img"], aug_config)
+            if not self.test_mode and distortion is not None:
+                imgs = pp.photometric_distortion(imgs, distortion)
+            imgs = pp.normalize_image(imgs)
 
         boxes, labels, extras = pp.circle_range_filter(
             data["gt_bboxes_3d"], data["gt_labels_3d"],

@@ -65,6 +65,7 @@ class GroupedCrossAttention(nn.Module):
         key_x: Optional[jnp.ndarray] = None,
         key_pos: Optional[jnp.ndarray] = None,
         key_sections: Optional[Sections] = None,
+        attn_bias: Optional[Dict[int, jnp.ndarray]] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         out = query
@@ -91,17 +92,19 @@ class GroupedCrossAttention(nn.Module):
                 dtype=self.dtype,
                 name=f"attn_{gi}",
             )
+            bias = attn_bias.get(gi) if attn_bias and num_keys else None
             if decoupled:
                 res = attn(
                     jnp.concatenate([q, qp], axis=-1),
                     key=jnp.concatenate([k, kp], axis=-1),
                     value=fc_before(v),
+                    attn_bias=bias,
                     deterministic=deterministic,
                 )
                 res = fc_after(res)
             else:
                 res = attn(q, key=k, value=v, query_pos=qp, key_pos=kp,
-                           deterministic=deterministic)
+                           attn_bias=bias, deterministic=deterministic)
             out = _scatter(out, res, q_names, sections)
         return out
 

@@ -252,13 +252,34 @@ class SparseOneDecoder(nn.Module):
                   key_sections=temp_sections, deterministic=det)
 
             elif op == "inter_gnn":
+                inter_bias = None
+                if cfg.with_distance_attn_mask or cfg.with_velocity_attn_mask:
+                    from . import attn_masks
+
+                    q_names, k_names = inter_groups[0][0], inter_groups[0][1]
+                    q_feat = jnp.concatenate(
+                        [feat[m] for m in q_names], axis=1
+                    )
+                    bias = 0.0
+                    if cfg.with_distance_attn_mask:
+                        dist = attn_masks.min_distance_matrix(q_names, k_names, anchor)
+                        tau = attn_masks.TauHead(
+                            cfg.num_groups, name=f"distance_tau_{op_idx}")(q_feat)
+                        bias = bias + attn_masks.distance_bias(dist, tau)
+                    if cfg.with_velocity_attn_mask:
+                        dv = attn_masks.speed_diff_matrix(q_names, k_names, anchor)
+                        tau = attn_masks.TauHead(
+                            cfg.num_groups, name=f"velocity_tau_{op_idx}")(q_feat)
+                        bias = bias + attn_masks.velocity_bias(dv, tau)
+                    inter_bias = {0: bias}
                 joint_feat = GroupedCrossAttention(
                     C, cfg.num_groups, inter_groups,
                     attn_drop=cfg.drop_out, proj_drop=cfg.drop_out,
                     dtype=self.dtype, name=f"inter_gnn_{op_idx}",
                 )(joint_feat, joint_embed, cur_sections, fc_before, fc_after,
                   key_x=joint_feat, key_pos=joint_embed,
-                  key_sections=cur_sections, deterministic=det)
+                  key_sections=cur_sections, attn_bias=inter_bias,
+                  deterministic=det)
 
             elif op == "norm":
                 joint_feat = nn.LayerNorm(dtype=self.dtype, name=f"norm_{op_idx}")(joint_feat)
