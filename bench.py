@@ -2,12 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing is done by scanning N streaming frames *inside one jit* with the
+temporal bank state carried between iterations — per-dispatch timing through
+the axon tunnel dedupes identical calls and can return from block_until_ready
+early, both of which inflate naive fps (see .claude/skills/verify/SKILL.md).
+
 Baseline: the reference runs closed-loop CARLA at a 20 Hz tick with one model
 inference per tick on an RTX 4090 (`hipad_b2d_agent.py:250`,
 `run_evaluation_multi_hipad.sh:23-24` — two sims per GPU, so ~40 fps/GPU
-sustained). We report single-chip frames/sec for the full bs=1 6-cam forward
-(backbone + unified decoder + temporal banks) against that 40 fps/4090
-baseline; BASELINE.json's north star is >=3x.
+sustained). BASELINE.json's north star is >=3x.
 """
 
 import json
@@ -17,12 +20,14 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
+N_ITERS = 16
 
 
 def main():
     from hipad_tpu.configs.model import stage2
     from hipad_tpu.data import synthetic
     from hipad_tpu.models.detector import HiPAD
+    from hipad_tpu.models.instance_bank import init_bank_states
     from hipad_tpu.train.train_step import META_KEYS
 
     cfg = stage2()
@@ -37,25 +42,24 @@ def main():
         {"params": r}, images, metas, train=False))(jax.random.PRNGKey(0))
 
     @jax.jit
-    def forward(variables, images, metas, banks):
-        return model.apply(variables, images, metas, banks, train=False)
+    def stream(variables, images, metas, banks):
+        """N streaming frames with bank carry, one dispatch."""
+        def body(banks, _):
+            outputs, banks = model.apply(variables, images, metas, banks,
+                                         train=False)
+            return banks, outputs["plan"]["final_waypoints"][0, 0, 0]
+        banks, tick = jax.lax.scan(body, banks, None, length=N_ITERS)
+        return banks, tick.sum()
 
-    # Cold start: run once without banks, then benchmark the steady-state
-    # temporal path (what the closed-loop agent runs every tick).
-    outputs, banks = forward(variables, images, metas, None)
-    jax.block_until_ready(outputs)
+    banks0 = init_bank_states(cfg, bs, feature_dtype=jnp.bfloat16)
+    banks, s = stream(variables, images, metas, banks0)  # compile + warm
+    float(s)
 
-    outputs, banks = forward(variables, images, metas, banks)
-    jax.block_until_ready(outputs)
-
-    # Timed: sequential frames with bank carry (streaming inference).
-    n_iters = 50
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        outputs, banks = forward(variables, images, metas, banks)
-    jax.block_until_ready((outputs, banks))
+    banks, s = stream(variables, images, metas, banks0)
+    float(s)
     dt = time.perf_counter() - t0
-    fps = n_iters * bs / dt
+    fps = N_ITERS * bs / dt
 
     print(json.dumps({
         "metric": "e2e_forward_fps_1chip",

@@ -168,6 +168,17 @@ class HiPADConfig:
     with_distance_attn_mask: bool = False
     with_velocity_attn_mask: bool = False
 
+    # --- deformable sampler backend (see ops/sampling.py) -------------------
+    # "reference": row gathers (parity oracle) | "topk": camera-compacted
+    # patch gathers + MXU sampling on coarse levels (production TPU path).
+    sampler: str = "topk"
+    sampler_cam_k: int = 3
+    sampler_matmul_levels: Tuple[int, ...] = (2, 3)
+    # Fuse all tasks' sampling into one call per layer. Measured slightly
+    # slower than per-task calls (concat copies outweigh the amortized
+    # dispatch overhead) — kept as an option.
+    fused_deformable: bool = False
+
     # --- misc --------------------------------------------------------------
     cls_threshold_to_reg: float = 0.05
 

@@ -295,28 +295,59 @@ class SparseOneDecoder(nn.Module):
                 common = dict(
                     embed_dims=C, num_groups=cfg.num_groups,
                     num_levels=cfg.num_levels, num_cams=cfg.num_cams,
+                    sampler=cfg.sampler, sampler_cam_k=cfg.sampler_cam_k,
+                    sampler_matmul_levels=cfg.sampler_matmul_levels,
                     dtype=self.dtype,
                 )
-                feat["det"] = DeformableAggregation(
-                    kps=BoxKeypoints(cfg.det_kps, dtype=self.dtype),
-                    name=f"det_deformable_{deform_i}", **common,
-                )(feat["det"], anchor["det"], embed["det"], feature_maps,
-                  projection_mat, image_wh, deterministic=det)
-                feat["map"] = DeformableAggregation(
-                    kps=PointKeypoints(cfg.map_kps, dtype=self.dtype),
-                    name=f"map_deformable_{deform_i}", **common,
-                )(feat["map"], anchor["map"], embed["map"], feature_maps,
-                  projection_mat, image_wh, deterministic=det)
-                feat["plan"] = DeformableAggregation(
-                    kps=PointKeypoints(cfg.plan_kps, dtype=self.dtype),
-                    name=f"plan_deformable_{deform_i}", **common,
-                )(feat["plan"], anchor["plan"], embed["plan"], feature_maps,
-                  projection_mat, image_wh, deterministic=det)
-                feat["ego"] = DeformableAggregation(
-                    kps=BoxKeypoints(cfg.ego_kps, dtype=self.dtype),
-                    name=f"ego_deformable_{deform_i}", **common,
-                )(feat["ego"], anchor["ego"], embed["ego"], feature_maps,
-                  projection_mat, image_wh, deterministic=det)
+                kps_by_task = {
+                    "det": BoxKeypoints(cfg.det_kps, dtype=self.dtype),
+                    "map": PointKeypoints(cfg.map_kps, dtype=self.dtype),
+                    "plan": PointKeypoints(cfg.plan_kps, dtype=self.dtype),
+                    "ego": BoxKeypoints(cfg.ego_kps, dtype=self.dtype),
+                }
+                modules = {
+                    q: DeformableAggregation(
+                        kps=kps_by_task[q], name=f"{q}_deformable_{deform_i}",
+                        **common,
+                    )
+                    for q in qs
+                }
+                if cfg.sampler == "topk" and cfg.fused_deformable:
+                    # Fused sampling: concatenate all tasks' flattened samples
+                    # and gather once per layer (optional; see config note).
+                    from ..ops.sampling import deformable_samples_topk_flat
+
+                    parts_p, parts_w, spans = [], [], {}
+                    ofs = 0
+                    for q in qs:
+                        pts2d, wq = modules[q].prepare(
+                            feat[q], anchor[q], embed[q], projection_mat,
+                            image_wh, deterministic=det,
+                        )
+                        nq, pq = pts2d.shape[1:3]
+                        parts_p.append(pts2d.reshape(bs, nq * pq, cfg.num_cams, 2))
+                        parts_w.append(wq.reshape(
+                            bs, nq * pq, cfg.num_cams, cfg.num_levels, cfg.num_groups
+                        ))
+                        spans[q] = (ofs, ofs + nq * pq, nq, pq)
+                        ofs += nq * pq
+                    flat = deformable_samples_topk_flat(
+                        feature_maps,
+                        jnp.concatenate(parts_p, axis=1),
+                        jnp.concatenate(parts_w, axis=1),
+                        cam_k=cfg.sampler_cam_k,
+                        matmul_levels=cfg.sampler_matmul_levels,
+                    )  # [bs, SUM(n*p), C]
+                    for q in qs:
+                        s, e, nq, pq = spans[q]
+                        sampled = flat[:, s:e].reshape(bs, nq, pq, C).sum(axis=2)
+                        feat[q] = modules[q].finish(sampled, feat[q])
+                else:
+                    for q in qs:
+                        feat[q] = modules[q](
+                            feat[q], anchor[q], embed[q], feature_maps,
+                            projection_mat, image_wh, deterministic=det,
+                        )
                 deform_i += 1
 
             elif op == "refine":

@@ -3,18 +3,24 @@
 keypoints -> camera projection -> camera-conditioned softmax weights ->
 multi-view multi-scale bilinear sampling -> output projection with "cat"
 residual (doubling the width, later squeezed by the AsymmetricFFN).
+
+Split into ``prepare`` (keypoints + weights + projection) and ``finish``
+(output projection + residual) so the decoder can FUSE the sampling of all
+four tasks into one `deformable_samples_topk_flat` call per layer — each
+sampler invocation carries several ms of fixed cost on TPU, so batching the
+det/map/plan/ego samples together amortizes it 4x.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ..core.geometry import project_points
-from ..ops.sampling import deformable_aggregation
+from ..ops.sampling import deformable_aggregation, deformable_aggregation_topk
 from .common import MLPLN
 from .keypoints import BoxKeypoints, PointKeypoints
 
@@ -27,37 +33,46 @@ class DeformableAggregation(nn.Module):
     kps: Union[BoxKeypoints, PointKeypoints]  # submodule (passed constructed)
     attn_drop: float = 0.15
     residual_mode: str = "cat"
+    sampler: str = "topk"
+    sampler_cam_k: int = 3
+    sampler_matmul_levels: tuple = (2, 3)
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(
-        self,
-        instance_feature: jnp.ndarray,  # [bs, n, C]
-        anchor: jnp.ndarray,
-        anchor_embed: jnp.ndarray,
-        feature_maps: Sequence[jnp.ndarray],  # per level [bs, cams, H, W, C]
-        projection_mat: jnp.ndarray,  # [bs, cams, 4, 4]
-        image_wh: jnp.ndarray,  # [bs, cams, 2]
-        deterministic: bool = True,
-    ) -> jnp.ndarray:
-        bs, n = instance_feature.shape[:2]
-        key_points = self.kps(anchor, instance_feature)  # [bs, n, P, 3]
-        num_pts = key_points.shape[2]
-
-        # --- camera-conditioned sampling weights (`blocks.py:178-214`) -----
-        cam_embed = MLPLN(self.embed_dims, 1, 2, dtype=self.dtype, name="camera_encoder")(
-            projection_mat[:, :, :3, :].reshape(bs, self.num_cams, 12)
-        )
-        feat = (instance_feature + anchor_embed)[:, :, None] + cam_embed[:, None]
+    def setup(self):
+        self.camera_encoder = MLPLN(self.embed_dims, 1, 2, dtype=self.dtype,
+                                    name="camera_encoder")
         # weights_fc is zero-init so initial weights are uniform post-softmax
         # (`blocks.py:120-122`, constant_init(weights_fc, 0)).
-        w = nn.Dense(
-            self.num_groups * self.num_levels * num_pts,
+        self.weights_fc = nn.Dense(
+            self.num_groups * self.num_levels * self.kps.num_pts,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="weights_fc",
-        )(feat)  # [bs, n, cams, G*L*P]
+        )
+        self.output_proj = nn.Dense(self.embed_dims, dtype=self.dtype,
+                                    name="output_proj")
+
+    def prepare(
+        self,
+        instance_feature: jnp.ndarray,  # [bs, n, C]
+        anchor: jnp.ndarray,
+        anchor_embed: jnp.ndarray,
+        projection_mat: jnp.ndarray,  # [bs, cams, 4, 4]
+        image_wh: jnp.ndarray,  # [bs, cams, 2]
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (points_2d [bs, n, P, cams, 2], weights [bs, n, P, cams, L, G])."""
+        bs, n = instance_feature.shape[:2]
+        key_points = self.kps(anchor, instance_feature)  # [bs, n, P, 3]
+        num_pts = key_points.shape[2]
+
+        # camera-conditioned sampling weights (`blocks.py:178-214`)
+        cam_embed = self.camera_encoder(
+            projection_mat[:, :, :3, :].reshape(bs, self.num_cams, 12)
+        )
+        feat = (instance_feature + anchor_embed)[:, :, None] + cam_embed[:, None]
+        w = self.weights_fc(feat)  # [bs, n, cams, G*L*P]
         w = w.reshape(bs, n, self.num_cams * self.num_levels * num_pts, self.num_groups)
         w = jax.nn.softmax(w, axis=-2)
         w = w.reshape(bs, n, self.num_cams, self.num_levels, num_pts, self.num_groups)
@@ -70,14 +85,35 @@ class DeformableAggregation(nn.Module):
             )
             w = w * keep / (1.0 - self.attn_drop)
 
-        # [bs, n, P, cams, L, G]
-        w = jnp.transpose(w, (0, 1, 4, 2, 3, 5))
-
-        pts2d = project_points(key_points, projection_mat, image_wh)  # [bs,cams,n,P,2]
+        w = jnp.transpose(w, (0, 1, 4, 2, 3, 5))  # [bs, n, P, cams, L, G]
+        pts2d = project_points(key_points, projection_mat, image_wh)
         pts2d = jnp.transpose(pts2d, (0, 2, 3, 1, 4))  # [bs, n, P, cams, 2]
+        return pts2d, w
 
-        features = deformable_aggregation(feature_maps, pts2d, w)  # [bs, n, C]
-        out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(features)
+    def finish(self, features: jnp.ndarray, instance_feature: jnp.ndarray):
+        out = self.output_proj(features)
         if self.residual_mode == "add":
             return out + instance_feature
         return jnp.concatenate([out, instance_feature], axis=-1)
+
+    def __call__(
+        self,
+        instance_feature: jnp.ndarray,
+        anchor: jnp.ndarray,
+        anchor_embed: jnp.ndarray,
+        feature_maps: Sequence[jnp.ndarray],
+        projection_mat: jnp.ndarray,
+        image_wh: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        pts2d, w = self.prepare(instance_feature, anchor, anchor_embed,
+                                projection_mat, image_wh, deterministic)
+        if self.sampler == "topk":
+            features = deformable_aggregation_topk(
+                feature_maps, pts2d, w,
+                cam_k=self.sampler_cam_k,
+                matmul_levels=self.sampler_matmul_levels,
+            )
+        else:
+            features = deformable_aggregation(feature_maps, pts2d, w)
+        return self.finish(features, instance_feature)

@@ -54,19 +54,24 @@ class BankStates(flax.struct.PyTreeNode):
     plan: PlanBankState
 
 
-def init_bank_states(cfg: HiPADConfig, batch_size: int, embed_dims: int | None = None) -> "BankStates":
+def init_bank_states(cfg: HiPADConfig, batch_size: int,
+                     embed_dims: int | None = None,
+                     feature_dtype=jnp.float32) -> "BankStates":
     """Zeroed cold-start bank state.
 
     Functionally equivalent to the first frame's ``state=None`` path (zero
     confidence + a timestamp far in the past makes every sample fail the
     ``max_time_interval`` check, so cached content is ignored), but lets
     callers jit a *single* temporal-step variant instead of two.
+
+    ``feature_dtype`` must match the model's cached-feature dtype (bf16 under
+    ``HiPAD(dtype=bfloat16)``) or scan carries will type-mismatch.
     """
     C = embed_dims or cfg.embed_dims
     bs = batch_size
     t_old = jnp.full((bs,), -1e9, jnp.float32)
     det = DetBankState(
-        feature=jnp.zeros((bs, cfg.num_temp_det_anchor, C)),
+        feature=jnp.zeros((bs, cfg.num_temp_det_anchor, C), feature_dtype),
         anchor=jnp.zeros((bs, cfg.num_temp_det_anchor, 11)),
         confidence=jnp.zeros((bs, cfg.num_temp_det_anchor)),
         instance_id=jnp.full((bs, cfg.num_det_anchor), -1, jnp.int32),
@@ -75,7 +80,7 @@ def init_bank_states(cfg: HiPADConfig, batch_size: int, embed_dims: int | None =
         t_global=jnp.tile(jnp.eye(4)[None], (bs, 1, 1)),
     )
     ego = EgoBankState(
-        feature=jnp.zeros((bs, 1, C)),
+        feature=jnp.zeros((bs, 1, C), feature_dtype),
         anchor=jnp.asarray(
             jnp.tile(jnp.asarray(cfg.ego_anchor_init)[None], (bs, 1, 1))
         ),
@@ -83,7 +88,7 @@ def init_bank_states(cfg: HiPADConfig, batch_size: int, embed_dims: int | None =
     )
     g = cfg.plan_anchor_group * cfg.ego_fut_cmd
     plan = PlanBankState(
-        feature=jnp.zeros((bs, g, cfg.num_temp_plan_mode, C)),
+        feature=jnp.zeros((bs, g, cfg.num_temp_plan_mode, C), feature_dtype),
         anchor=jnp.zeros((bs, g, cfg.num_temp_plan_mode, cfg.ego_fut_ts * 2)),
         confidence=jnp.zeros((bs, g, cfg.num_temp_plan_mode)),
         timestamp=t_old,

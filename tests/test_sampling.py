@@ -86,3 +86,63 @@ def test_jit_compiles():
     fn = jax.jit(lambda f0, f1, p, ww: deformable_aggregation([f0, f1], p, ww))
     out = fn(jnp.asarray(feats[0]), jnp.asarray(feats[1]), jnp.asarray(pts), jnp.asarray(w))
     assert out.shape == (2, 3, 8)
+
+
+def test_variant_parity_patch_mixed_topk():
+    """All sampler backends must agree with the reference formulation."""
+    from hipad_tpu.ops.sampling import (deformable_aggregation_mixed,
+                                        deformable_aggregation_patch,
+                                        deformable_aggregation_topk)
+
+    rng = np.random.RandomState(7)
+    bs, cams, C, G = 2, 4, 32, 4
+    shapes = [(16, 24), (8, 12), (4, 6)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    A, P = 6, 5
+    # each point visible in at most 2 cameras (realistic rig geometry)
+    pts = np.full((bs, A, P, cams, 2), 2.0, np.float32)
+    for b in range(bs):
+        for a in range(A):
+            for p in range(P):
+                for c in rng.choice(cams, 2, replace=False):
+                    pts[b, a, p, c] = rng.rand(2) * 0.9 + 0.05
+    pts = jnp.asarray(pts)
+    w = jnp.asarray(rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32))
+
+    ref = deformable_aggregation(feats, pts, w)
+    for got in (
+        deformable_aggregation_patch(feats, pts, w),
+        deformable_aggregation_mixed(feats, pts, w, matmul_levels=(1, 2)),
+        deformable_aggregation_topk(feats, pts, w, cam_k=2, matmul_levels=(2,)),
+        deformable_aggregation_topk(feats, pts, w, cam_k=3, matmul_levels=(1, 2)),
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_model_level_sampler_parity():
+    """Full tiny-model forward: production sampler == reference sampler."""
+    import jax as _jax
+
+    from hipad_tpu.configs.model import tiny
+    from hipad_tpu.data import synthetic
+    from hipad_tpu.models.detector import HiPAD
+
+    cfg_ref = tiny(sampler="reference")
+    cfg_fast = tiny(sampler="topk", sampler_cam_k=2, sampler_matmul_levels=(2, 3))
+    batch = synthetic.make_batch(cfg_ref, 1)
+    images = jnp.asarray(batch["images"])
+    metas = {k: jnp.asarray(v) for k, v in batch.items() if k != "images"}
+    model_ref = HiPAD(cfg_ref)
+    variables = model_ref.init({"params": _jax.random.PRNGKey(0)}, images, metas,
+                               train=False)
+    out_ref, _ = model_ref.apply(variables, images, metas, train=False)
+    out_fast, _ = HiPAD(cfg_fast).apply(variables, images, metas, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fast["plan"]["final_waypoints"]),
+        np.asarray(out_ref["plan"]["final_waypoints"]), atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast["det"]["prediction"]),
+        np.asarray(out_ref["det"]["prediction"]), atol=2e-3,
+    )
