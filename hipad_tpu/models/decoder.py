@@ -300,10 +300,14 @@ class SparseOneDecoder(nn.Module):
                     dtype=self.dtype,
                 )
                 kps_by_task = {
-                    "det": BoxKeypoints(cfg.det_kps, dtype=self.dtype),
-                    "map": PointKeypoints(cfg.map_kps, dtype=self.dtype),
-                    "plan": PointKeypoints(cfg.plan_kps, dtype=self.dtype),
-                    "ego": BoxKeypoints(cfg.ego_kps, dtype=self.dtype),
+                    "det": BoxKeypoints(cfg.det_kps, dtype=self.dtype,
+                                        name=f"det_kps_{deform_i}"),
+                    "map": PointKeypoints(cfg.map_kps, dtype=self.dtype,
+                                          name=f"map_kps_{deform_i}"),
+                    "plan": PointKeypoints(cfg.plan_kps, dtype=self.dtype,
+                                           name=f"plan_kps_{deform_i}"),
+                    "ego": BoxKeypoints(cfg.ego_kps, dtype=self.dtype,
+                                        name=f"ego_kps_{deform_i}"),
                 }
                 modules = {
                     q: DeformableAggregation(

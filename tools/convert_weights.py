@@ -113,28 +113,220 @@ def convert_backbone(sd: Dict[str, np.ndarray], params: Dict, stats: Dict,
             _set(params, ("depth_net", f"depth_conv_{i}", "bias"), sd.pop(k + ".bias"))
 
 
-def convert_decoder_anchors(sd: Dict[str, np.ndarray], params: Dict):
-    """Instance-bank learnable anchors/features -> decoder params."""
-    head = "head.onedecoder_head."
-    mapping = {
-        head + "det_instance_bank.anchor": ("decoder", "det_anchor"),
-        head + "det_instance_bank.instance_feature": ("decoder", "det_feature"),
-        head + "map_instance_bank.anchor": ("decoder", "map_anchor"),
-        head + "map_instance_bank.instance_feature": ("decoder", "map_feature"),
-        head + "plan_instance_bank.plan_anchor": ("decoder", "plan_anchor"),
-    }
-    for src, dst in mapping.items():
-        if src in sd:
-            _set(params, dst, sd.pop(src))
+HEAD = "head.onedecoder_head."
+
+# Stage-2 operation program (`hipad_b2d_stage2.py:70-74`).
+SINGLE_LAYER = ("concat", "gnn", "inter_gnn", "norm", "split",
+                "deformable", "concat", "ffn", "norm", "split", "refine")
+TEMPORAL_LAYER = ("concat", "temp_gnn", "gnn", "inter_gnn", "norm", "split",
+                  "deformable", "concat", "ffn", "norm", "split", "refine")
+STAGE2_OPS = SINGLE_LAYER + TEMPORAL_LAYER * 5
+
+GNN_GROUPS = {"gnn": 2, "temp_gnn": 3, "inter_gnn": 1}  # config:225-292
 
 
-def convert(sd: Dict[str, np.ndarray], stage_blocks=(3, 4, 6, 3)):
+def _lin(params, dst, sd, src):
+    if src + ".weight" in sd:
+        _set(params, dst + ("kernel",), linear_w(sd.pop(src + ".weight")))
+        if src + ".bias" in sd:
+            _set(params, dst + ("bias",), sd.pop(src + ".bias"))
+
+
+def _ln(params, dst, sd, src):
+    if src + ".weight" in sd:
+        _set(params, dst + ("scale",), sd.pop(src + ".weight"))
+        _set(params, dst + ("bias",), sd.pop(src + ".bias"))
+
+
+def _mlpln(params, dst, sd, src, in_loops, out_loops):
+    """torch Sequential(linear_relu_ln(...)) -> our MLPLN naming."""
+    i = 0
+    for o in range(out_loops):
+        for k in range(in_loops):
+            _lin(params, dst + (f"fc_{o}_{k}",), sd, f"{src}.{i}")
+            i += 2  # Linear, ReLU
+        _ln(params, dst + (f"ln_{o}",), sd, f"{src}.{i}")
+        i += 1
+    return i  # next sequential index
+
+
+def _mha(params, dst, sd, src):
+    """FlashMHA packed qkv (`attention.py:116-123`) -> q/k/v/out projections."""
+    wkey = src + ".in_proj_weight"
+    if wkey not in sd:
+        return
+    w = sd.pop(wkey)
+    d = w.shape[0] // 3
+    for name, chunk in zip(("q_proj", "k_proj", "v_proj"),
+                           (w[:d], w[d : 2 * d], w[2 * d :])):
+        _set(params, dst + (name, "kernel"), linear_w(chunk))
+    bkey = src + ".in_proj_bias"
+    if bkey in sd:
+        b = sd.pop(bkey)
+        for name, chunk in zip(("q_proj", "k_proj", "v_proj"),
+                               (b[:d], b[d : 2 * d], b[2 * d :])):
+            _set(params, dst + (name, "bias"), chunk)
+    _lin(params, dst + ("out_proj",), sd, src + ".out_proj")
+
+
+def _conv_bn_encoder(params, stats, dst, sd, src):
+    """Front-view conv-BN-conv-BN encoder (`ego/instance_bank.py:68-75`)."""
+    if src + ".0.weight" not in sd:
+        return
+    _set(params, dst + ("conv1", "kernel"), conv_w(sd.pop(src + ".0.weight")))
+    _bn(params, stats, dst + ("bn1",), sd, src + ".1")
+    _set(params, dst + ("conv2", "kernel"), conv_w(sd.pop(src + ".2.weight")))
+    _bn(params, stats, dst + ("bn2",), sd, src + ".3")
+
+
+def _refine_reg_cls(params, sd, src, dst, with_quality=False):
+    """`layers`/`cls_layers`(/`quality_layers`) refinement stacks
+    (`det/blocks.py:96-120`, `map/blocks.py:101-112`)."""
+    nxt = _mlpln(params, dst + ("reg_mlp",), sd, src + ".layers", 2, 2)
+    _lin(params, dst + ("reg_out",), sd, f"{src}.layers.{nxt}")
+    skey = f"{src}.layers.{nxt + 1}.scale"
+    if skey in sd:
+        _set(params, dst + ("reg_scale", "scale"), sd.pop(skey))
+    _mlpln(params, dst + ("cls", "mlp"), sd, src + ".cls_layers", 1, 2)
+    _lin(params, dst + ("cls", "out"), sd, src + ".cls_layers.6")
+    if with_quality:
+        _mlpln(params, dst + ("quality_mlp",), sd, src + ".quality_layers", 1, 2)
+        _lin(params, dst + ("quality_out",), sd, src + ".quality_layers.6")
+
+
+def convert_decoder(sd: Dict[str, np.ndarray], params: Dict, stats: Dict,
+                    operation_order=STAGE2_OPS,
+                    plan_anchor_types=None):
+    """Full unified-decoder mapping (reference module tree from
+    `sparse_onedecoder.py:203-365` -> our `models/decoder.py` naming)."""
+    D = ("decoder",)
+    plan_anchor_types = plan_anchor_types or (
+        ("temp", "5hz"), ("spat", "2m"), ("temp", "2hz"), ("spat", "5m"),
+        ("speed", "5hz"), ("speed", "5hz"), ("speed", "5hz"),
+        ("speed", "2hz"), ("speed", "2hz"), ("speed", "2hz"),
+    )
+
+    # anchors / bank parameters
+    for src, dst in {
+        "det_instance_bank.anchor": "det_anchor",
+        "det_instance_bank.instance_feature": "det_feature",
+        "map_instance_bank.anchor": "map_anchor",
+        "map_instance_bank.instance_feature": "map_feature",
+        "plan_instance_bank.plan_anchor": "plan_anchor",
+    }.items():
+        if HEAD + src in sd:
+            _set(params, D + (dst,), sd.pop(HEAD + src))
+
+    # decoupled-attention lift/squeeze (`sparse_onedecoder.py:354-359`)
+    _lin(params, D + ("fc_before",), sd, HEAD + "fc_before")
+    _lin(params, D + ("fc_after",), sd, HEAD + "fc_after")
+
+    # anchor encoders
+    for fc in ("pos_fc", "size_fc", "yaw_fc", "vel_fc"):
+        _mlpln(params, D + ("det_anchor_encoder", fc), sd,
+               HEAD + f"det_anchor_encoder.{fc}", 1, 4)
+    _mlpln(params, D + ("map_anchor_encoder", "pos_fc"), sd,
+           HEAD + "map_anchor_encoder.pos_fc", 1, 2)
+    _mlpln(params, D + ("plan_anchor_encoder", "pos_fc"), sd,
+           HEAD + "plan_anchor_encoder.pos_fc", 1, 2)
+
+    # plan/ego auxiliary encoders
+    _mlpln(params, D + ("target_point_encoder_mlp",), sd,
+           HEAD + "target_point_encoder", 2, 1)
+    _lin(params, D + ("target_point_encoder_out",), sd,
+         HEAD + "target_point_encoder.5")
+    _mlpln(params, D + ("command_encoder_mlp",), sd,
+           HEAD + "command_embed_encoder", 2, 1)
+    _lin(params, D + ("command_encoder_out",), sd,
+         HEAD + "command_embed_encoder.5")
+    _mlpln(params, D + ("motion_anchor_encoder_mlp",), sd,
+           HEAD + "motion_anchor_encoder", 1, 1)
+    _lin(params, D + ("motion_anchor_encoder_out",), sd,
+         HEAD + "motion_anchor_encoder.3")
+    if HEAD + "motion_anchor" in sd:
+        sd.pop(HEAD + "motion_anchor")  # constant, loaded from data/kmeans
+
+    # front-view feature encoders (banks)
+    _conv_bn_encoder(params, stats, D + ("ego_feature_encoder",), sd,
+                     HEAD + "ego_instance_bank.ego_feature_encoder")
+    _conv_bn_encoder(params, stats, D + ("plan_feature_encoder",), sd,
+                     HEAD + "plan_instance_bank.plan_feature_encoder")
+
+    # operation-program layers (names indexed by position in the program)
+    for i, op in enumerate(operation_order):
+        src = HEAD + f"layers.{i}"
+        if op == "norm":
+            _ln(params, D + (f"norm_{i}",), sd, src)
+        elif op == "ffn":
+            _ln(params, D + (f"ffn_{i}", "pre_norm"), sd, src + ".pre_norm")
+            _lin(params, D + (f"ffn_{i}", "fc1"), sd, src + ".layers.0.0")
+            _lin(params, D + (f"ffn_{i}", "fc2"), sd, src + ".layers.1")
+            _lin(params, D + (f"ffn_{i}", "identity_fc"), sd, src + ".identity_fc")
+        elif op in GNN_GROUPS:
+            for g in range(GNN_GROUPS[op]):
+                _mha(params, D + (f"{op}_{i}", f"attn_{g}"), sd,
+                     src + f".attns.{g}.attn")
+
+    # per-task deformables + refines (module-list index == occurrence index)
+    n_deform = operation_order.count("deformable")
+    n_refine = operation_order.count("refine")
+    for task in ("det", "map", "plan", "ego"):
+        for j in range(n_deform):
+            src = HEAD + f"{task}_deformable.{j}"
+            dst = D + (f"{task}_deformable_{j}",)
+            _mlpln(params, dst + ("camera_encoder",), sd, src + ".camera_encoder", 1, 2)
+            _lin(params, dst + ("weights_fc",), sd, src + ".weights_fc")
+            _lin(params, dst + ("output_proj",), sd, src + ".output_proj")
+            # keypoint generators live beside (not inside) the deformable
+            # module in our tree: decoder/{task}_kps_{j}
+            _lin(params, D + (f"{task}_kps_{j}", "learnable_fc"), sd,
+                 src + ".kps_generator.learnable_fc")
+    for j in range(n_refine):
+        _refine_reg_cls(params, sd, HEAD + f"det_refine.{j}",
+                        D + (f"det_refine_{j}",), with_quality=True)
+        _refine_reg_cls(params, sd, HEAD + f"map_refine.{j}",
+                        D + (f"map_refine_{j}",))
+        # motion: cls (1,2)+Linear, reg = 3 plain Linears
+        src = HEAD + f"motion_refine.{j}"
+        dst = D + (f"motion_refine_{j}",)
+        _mlpln(params, dst + ("cls", "mlp"), sd, src + ".motion_cls_branch", 1, 2)
+        _lin(params, dst + ("cls", "out"), sd, src + ".motion_cls_branch.6")
+        for k, seq in enumerate((0, 2, 4)):
+            _lin(params, dst + ("reg", f"fc_{k}"), sd, src + f".motion_reg_branch.{seq}")
+        # ego status: 3 plain Linears
+        src = HEAD + f"ego_refine.{j}"
+        dst = D + (f"ego_refine_{j}",)
+        for k, seq in enumerate((0, 2, 4)):
+            _lin(params, dst + ("status", f"fc_{k}"), sd, src + f".plan_status_branch.{seq}")
+        # plan: shared cls (+speed cls) + per-anchor-type reg branches
+        src = HEAD + f"plan_refine.{j}"
+        dst = D + (f"plan_refine_{j}",)
+        _mlpln(params, dst + ("cls", "mlp"), sd, src + ".plan_cls_branch", 1, 2)
+        _lin(params, dst + ("cls", "out"), sd, src + ".plan_cls_branch.6")
+        _mlpln(params, dst + ("cls_speed", "mlp"), sd, src + ".plan_cls_branch_speed", 1, 2)
+        _lin(params, dst + ("cls_speed", "out"), sd, src + ".plan_cls_branch_speed.6")
+        seen = set()
+        for t in plan_anchor_types:
+            key = f"{t[0]}_{t[1]}"
+            if key in seen:
+                continue
+            seen.add(key)
+            bsrc = src + f".plan_reg_branch_{key}"
+            nxt = _mlpln(params, dst + (f"reg_{key}_mlp",), sd, bsrc, 2, 2)
+            _lin(params, dst + (f"reg_{key}_out",), sd, f"{bsrc}.{nxt}")
+            skey = f"{bsrc}.{nxt + 1}.scale"
+            if skey in sd:
+                _set(params, dst + (f"reg_{key}_scale", "scale"), sd.pop(skey))
+
+
+def convert(sd: Dict[str, np.ndarray], stage_blocks=(3, 4, 6, 3),
+            operation_order=STAGE2_OPS, plan_anchor_types=None):
     """-> (params, batch_stats, leftover_keys)."""
     sd = dict(sd)
     params: Dict = {}
     stats: Dict = {}
     convert_backbone(sd, params, stats, stage_blocks)
-    convert_decoder_anchors(sd, params)
+    convert_decoder(sd, params, stats, operation_order, plan_anchor_types)
     return params, stats, sorted(sd.keys())
 
 
