@@ -44,7 +44,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from hipad_tpu import postprocess
     from hipad_tpu.configs import model as cfgs
     from hipad_tpu.data.bench2drive import Bench2DriveDataset
     from hipad_tpu.eval import planning as plan_eval
@@ -59,81 +58,18 @@ def main():
         state = checkpoint.load_params_only(args.ckpt, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    infer_model = HiPAD(cfg, dtype=jnp.bfloat16)
-
-    @jax.jit
-    def step(variables, images, metas, banks):
-        outputs, new_banks = infer_model.apply(variables, images, metas, banks,
-                                               train=False)
-        decoded = postprocess.post_process_arrays(
-            cfg, outputs, metas["gt_ego_fut_cmd"]
-        )
-        return decoded, new_banks
-
     dataset = Bench2DriveDataset(
         ann_file=args.ann_file, map_file=args.map_file,
         data_root=args.data_root, test_mode=True,
         plan_anchor_types=cfg.plan_anchor_types,
     )
-    n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    from hipad_tpu.eval.runner import run_openloop_eval
 
-    metric = plan_eval.PlanningMetric()
-    per_frame_plan = []
-    results = []
-    banks = None
-    prev_scene = None
-    for i in range(n):
-        frame = dataset[{"idx": i, "aug_config": None}]
-        if frame["scene_token"] != prev_scene:
-            banks = None  # sequence boundary: reset temporal state
-            prev_scene = frame["scene_token"]
-        images = jnp.asarray(frame["images"])[None]
-        metas = {k: jnp.asarray(np.asarray(frame[k]))[None] for k in META_KEYS
-                 if k in frame}
-        decoded, banks = step(variables, images, metas, banks)
-        res = postprocess.to_result_dicts(decoded)[0]
-        results.append({k: v for k, v in res.items()
-                        if k.startswith("plan_") or k in ("boxes_3d", "scores_3d",
-                                                          "labels_3d")})
-
-        if args.eval_planning and "plan_temp_2hz" in res:
-            boxes = frame["gt_bboxes_3d"][frame["gt_valid"]].copy()
-            # remap lwh/yaw back for the occupancy rasterizer
-            # (`sparse_head.py:168-173`)
-            tmp = boxes[:, 3].copy()
-            boxes[:, 3] = boxes[:, 4]
-            boxes[:, 4] = tmp
-            boxes[:, 6] = -boxes[:, 6] - np.pi / 2
-            feats = frame["gt_attr_labels"][frame["gt_valid"]]
-            gt_traj = np.cumsum(frame["gt_ego_fut_trajs_2hz"], axis=0)
-            valid = bool((frame["gt_ego_fut_masks_2hz"] == 1).all())
-            per_frame_plan.append(plan_eval.compute_planner_metric_stp3(
-                metric, np.asarray(res["plan_temp_2hz"]), gt_traj, boxes,
-                feats, valid,
-            ))
-        if (i + 1) % 100 == 0:
-            print(f"{i+1}/{n} frames", flush=True)
-
-    summary = {}
-    if per_frame_plan:
-        summary["planning"] = plan_eval.aggregate_planning_metrics(per_frame_plan)
-    if args.eval_det:
-        from hipad_tpu.eval.detection import evaluate_detection
-
-        det_class = np.asarray(cfgs.DET_CLASS_NAMES)
-        gt_frames, pred_frames = [], []
-        for i in range(n):
-            frame = dataset[{"idx": i, "aug_config": None}]
-            v = frame["gt_valid"]
-            gt_frames.append({"boxes": frame["gt_bboxes_3d"][v],
-                              "names": det_class[frame["gt_labels_3d"][v]]})
-            r = results[i]
-            pred_frames.append({
-                "boxes": np.asarray(r["boxes_3d"])[:, :9],
-                "names": det_class[np.asarray(r["labels_3d"])],
-                "scores": np.asarray(r["scores_3d"]),
-            })
-        summary["detection"] = evaluate_detection(gt_frames, pred_frames)
+    summary = run_openloop_eval(
+        cfg, variables, dataset, max_frames=args.max_frames,
+        dtype=jnp.bfloat16, eval_planning=args.eval_planning,
+        eval_det=args.eval_det,
+    )
 
     print(json.dumps(summary, indent=2, default=float))
     if args.out:

@@ -38,6 +38,10 @@ def main():
     p.add_argument("--load-from", default=None, help="warm-start ckpt dir")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train N synthetic iters (no dataset needed)")
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run open-loop eval every N iters (needs --val-ann-file)")
+    p.add_argument("--val-ann-file", default=None)
+    p.add_argument("--eval-frames", type=int, default=500)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny config (CI)")
@@ -130,6 +134,24 @@ def main():
                 f.write(json.dumps(m) + "\n")
         if (it + 1) % args.ckpt_interval == 0 or it + 1 == total_steps:
             checkpoint.save_checkpoint(args.work_dir, it + 1, state)
+        if (args.eval_interval and args.val_ann_file
+                and (it + 1) % args.eval_interval == 0):
+            from hipad_tpu.data.bench2drive import Bench2DriveDataset
+            from hipad_tpu.eval.runner import run_openloop_eval
+
+            val = Bench2DriveDataset(
+                ann_file=args.val_ann_file, map_file=args.map_file,
+                data_root=args.data_root, test_mode=True,
+                plan_anchor_types=cfg.plan_anchor_types,
+            )
+            summary = run_openloop_eval(
+                cfg, {"params": state.params, "batch_stats": state.batch_stats},
+                val, max_frames=args.eval_frames,
+            )
+            print(json.dumps({"eval_at": it + 1, **{
+                f"{k}/{m}": round(float(x), 4)
+                for k, d in summary.items() for m, x in d.items()
+            }}), flush=True)
     print("training done")
 
 
