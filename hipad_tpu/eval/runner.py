@@ -17,6 +17,8 @@ def run_openloop_eval(
     dtype=None,
     eval_planning: bool = True,
     eval_det: bool = False,
+    eval_map: bool = False,
+    eval_motion: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Stream the val split in sequence order; -> metric summary dict."""
     import jax
@@ -41,6 +43,8 @@ def run_openloop_eval(
     metric = plan_eval.PlanningMetric()
     per_frame = []
     det_gt, det_pred = [], []
+    map_gt, map_pred = [], []
+    mot_gt, mot_pred = [], []
     banks = None
     prev_scene = None
     for i in range(n):
@@ -67,7 +71,7 @@ def run_openloop_eval(
                 metric, np.asarray(res["plan_temp_2hz"]), gt_traj, boxes,
                 feats, valid,
             ))
-        if eval_det:
+        if eval_det or eval_motion:
             from ..configs.model import DET_CLASS_NAMES
 
             names = np.asarray(DET_CLASS_NAMES)
@@ -79,12 +83,49 @@ def run_openloop_eval(
                 "names": names[np.asarray(res["labels_3d"])],
                 "scores": np.asarray(res["scores_3d"]),
             })
+        if eval_map and "vectors" in res:
+            v = frame["gt_map_valid"]
+            # GT permutation slot 0 is the canonical ordering
+            map_gt.append({
+                "vectors": [p for p in frame["gt_map_pts"][v][:, 0]],
+                "labels": frame["gt_map_labels"][v],
+            })
+            map_pred.append({
+                "vectors": np.asarray(res["vectors"]),
+                "labels": np.asarray(res["labels"]),
+                "scores": np.asarray(res["scores"]),
+            })
+        if eval_motion and "trajs_3d" in res:
+            v = frame["gt_valid"]
+            gt_cum = (np.cumsum(frame["gt_agent_fut_trajs"][v], axis=1)
+                      + frame["gt_bboxes_3d"][v][:, None, :2])
+            mot_gt.append({
+                "boxes": frame["gt_bboxes_3d"][v][:, :2],
+                "names": det_gt[-1]["names"],
+                "fut_trajs": gt_cum,
+                "fut_masks": frame["gt_agent_fut_masks"][v],
+            })
+            mot_pred.append({
+                "boxes": det_pred[-1]["boxes"][:, :2],
+                "names": det_pred[-1]["names"],
+                "scores": det_pred[-1]["scores"],
+                "trajs": np.asarray(res["trajs_3d"]),
+                "traj_scores": np.asarray(res["trajs_score"]),
+            })
 
     summary: Dict[str, Dict[str, float]] = {}
     if per_frame:
         summary["planning"] = plan_eval.aggregate_planning_metrics(per_frame)
-    if det_gt:
+    if eval_det and det_gt:
         from .detection import evaluate_detection
 
         summary["detection"] = evaluate_detection(det_gt, det_pred)
+    if map_gt:
+        from .map import evaluate_map
+
+        summary["map"] = evaluate_map(map_gt, map_pred)
+    if mot_gt:
+        from .motion import evaluate_motion
+
+        summary["motion"] = evaluate_motion(mot_gt, mot_pred)
     return summary

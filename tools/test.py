@@ -68,7 +68,8 @@ def main():
     summary = run_openloop_eval(
         cfg, variables, dataset, max_frames=args.max_frames,
         dtype=jnp.bfloat16, eval_planning=args.eval_planning,
-        eval_det=args.eval_det,
+        eval_det=args.eval_det, eval_map=args.eval_map,
+        eval_motion=args.eval_motion,
     )
 
     print(json.dumps(summary, indent=2, default=float))
