@@ -59,7 +59,9 @@ class AgentCore:
 
     def __init__(self, cfg: HiPADConfig, variables, dtype=jnp.bfloat16,
                  jpeg_quality: Optional[int] = 20, with_rescore: bool = True,
-                 aug_conf: Optional[Dict] = None, n_banks: int = CLOSE_LOOP_BANKS):
+                 aug_conf: Optional[Dict] = None, n_banks: int = CLOSE_LOOP_BANKS,
+                 visualize_dir: Optional[str] = None,
+                 visualize_interval: int = 20):
         self.cfg = cfg
         self.variables = variables
         self.model = HiPAD(cfg, dtype=dtype)
@@ -70,6 +72,8 @@ class AgentCore:
         self.jpeg_quality = jpeg_quality
         self.with_rescore = with_rescore
         self.metric_info: Dict[int, Dict] = {}
+        self.visualize_dir = visualize_dir
+        self.visualize_interval = visualize_interval
 
         self.aug_conf = aug_conf or pp.DATA_AUG_CONF
         self.aug = pp.sample_aug_config(self.aug_conf, test_mode=True)
@@ -188,5 +192,28 @@ class AgentCore:
         meta.update({"plan_temp": temp.tolist(), "plan_spat": spat.tolist(),
                      "command": int(obs.get("command", 4))})
         self.metric_info[self.step] = meta
+
+        if self.visualize_dir and self.step % self.visualize_interval == 0:
+            self._dump_bev(decoded)
         return {"steer": steer, "throttle": throttle, "brake": brake,
                 "metadata": meta}
+
+    def _dump_bev(self, decoded):
+        """Composite BEV dump per N steps (counterpart of the agent's
+        visualization JPEGs, `hipad_b2d_agent.py:617-750`)."""
+        import os
+
+        from .. import postprocess
+        from ..utils.viz import render_frame
+
+        os.makedirs(self.visualize_dir, exist_ok=True)
+        res = postprocess.to_result_dicts(decoded)[0]
+        img = render_frame(res)
+        try:
+            from PIL import Image
+
+            Image.fromarray(img).save(
+                os.path.join(self.visualize_dir, f"bev_{self.step:06d}.png"))
+        except ImportError:
+            np.save(os.path.join(self.visualize_dir, f"bev_{self.step:06d}.npy"),
+                    img)

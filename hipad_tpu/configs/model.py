@@ -178,6 +178,11 @@ class HiPADConfig:
     # slower than per-task calls (concat copies outweigh the amortized
     # dispatch overhead) — kept as an option.
     fused_deformable: bool = False
+    # Rematerialize the deformable ops in the backward pass: their sampling
+    # intermediates (patch gathers + interpolation operands) dominate autodiff
+    # residual memory at train time (counterpart of the reference's fp16 +
+    # backbone-only with_cp fitting a 24 GB GPU; v5e has 16 GB HBM).
+    decoder_remat: bool = True
 
     # --- misc --------------------------------------------------------------
     cls_threshold_to_reg: float = 0.05
@@ -187,6 +192,22 @@ class HiPADConfig:
     map_anchor: np.ndarray = None
     motion_anchor: np.ndarray = None
     plan_anchor: np.ndarray = None  # [group * cmd * mode, ego_fut_ts*2]
+
+    def __post_init__(self):
+        # cross-field invariants that are easy to violate in overrides
+        if self.plan_kps.num_sample != self.ego_fut_ts:
+            raise ValueError(
+                f"plan_kps.num_sample ({self.plan_kps.num_sample}) must equal "
+                f"ego_fut_ts ({self.ego_fut_ts}) — plan keypoints ride the "
+                "anchor trajectory's waypoints"
+            )
+        if self.map_kps.num_sample != self.map_num_pts:
+            raise ValueError(
+                f"map_kps.num_sample ({self.map_kps.num_sample}) must equal "
+                f"map_num_pts ({self.map_num_pts})"
+            )
+        if self.embed_dims % self.num_groups != 0:
+            raise ValueError("embed_dims must divide into num_groups")
 
     # ---- derived -------------------------------------------------------------
     @property

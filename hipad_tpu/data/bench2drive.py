@@ -665,6 +665,21 @@ class Bench2DriveDataset:
 
     # ---- assembled frame ----------------------------------------------------
 
+    def load_lidar_points(self, pts_filename: str) -> Optional[np.ndarray]:
+        """LiDAR points for the aux depth GT (`pipelines/loading.py`,
+        ``B2DLoadPointsFromFile``: laspy .laz files). Returns None when the
+        file or laspy is unavailable — the depth loss then just skips."""
+        if not osp.exists(pts_filename):
+            return None
+        try:
+            import laspy  # optional dependency
+
+            with laspy.open(pts_filename) as f:
+                las = f.read()
+            return np.stack([las.x, las.y, las.z], axis=1).astype(np.float32)
+        except ImportError:
+            return None
+
     def load_images(self, paths: Sequence[str]) -> np.ndarray:
         """Load to BGR float32 [cams, H, W, 3] (mmcv-imread convention)."""
         import importlib
@@ -733,8 +748,19 @@ class Bench2DriveDataset:
         )
 
         h, w = imgs.shape[1:3]
+        depth_keys = {}
+        if not self.test_mode and self.strides:
+            points = self.load_lidar_points(data["pts_filename"])
+            if points is not None:
+                maps = native.depth_maps(points, lidar2img, (h, w), self.strides)
+                if maps is None:
+                    maps = pp.multiscale_depth_maps(points, lidar2img, (h, w),
+                                                    self.strides)
+                depth_keys = {f"gt_depth_{i}": m for i, m in enumerate(maps)}
+
         frame = {
             "images": imgs,
+            **depth_keys,
             "timestamp": np.float32(data["timestamp"]),
             "projection_mat": lidar2img,
             "image_wh": np.tile(np.array([w, h], np.float32), (len(lidar2img), 1)),

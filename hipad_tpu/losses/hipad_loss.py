@@ -337,10 +337,14 @@ def compute_losses(
         losses.update(loss_motion(cfg, outputs["motion"], data, col4gt))
     if "plan" in cfg.task_select:
         losses.update(loss_plan(cfg, outputs["plan"], data))
-    if depth_preds is not None and "gt_depth" in data:
-        from ..models.depth_net import dense_depth_loss
+    if depth_preds is not None:
+        gt_depth = (data.get("gt_depth")
+                    or [data[f"gt_depth_{i}"] for i in range(len(depth_preds))
+                        if f"gt_depth_{i}" in data])
+        if gt_depth:
+            from ..models.depth_net import dense_depth_loss
 
-        losses["depth_loss"] = dense_depth_loss(depth_preds, data["gt_depth"])
+            losses["depth_loss"] = dense_depth_loss(depth_preds, gt_depth)
     return losses
 
 

@@ -309,8 +309,12 @@ class SparseOneDecoder(nn.Module):
                     "ego": BoxKeypoints(cfg.ego_kps, dtype=self.dtype,
                                         name=f"ego_kps_{deform_i}"),
                 }
+                deform_cls = (
+                    nn.remat(DeformableAggregation, static_argnums=(7,))
+                    if cfg.decoder_remat else DeformableAggregation
+                )
                 modules = {
-                    q: DeformableAggregation(
+                    q: deform_cls(
                         kps=kps_by_task[q], name=f"{q}_deformable_{deform_i}",
                         **common,
                     )
@@ -350,7 +354,7 @@ class SparseOneDecoder(nn.Module):
                     for q in qs:
                         feat[q] = modules[q](
                             feat[q], anchor[q], embed[q], feature_maps,
-                            projection_mat, image_wh, deterministic=det,
+                            projection_mat, image_wh, det,
                         )
                 deform_i += 1
 
