@@ -301,9 +301,14 @@ def deformable_samples_topk_flat(
     score = inside.astype(jnp.float32) - jnp.arange(num_cams) * 1e-6
     _, cam_idx = jax.lax.top_k(score, cam_k)  # [b, M0, k]
 
-    pts = jnp.take_along_axis(points_2d, cam_idx[..., None], axis=2)
-    ins = jnp.take_along_axis(inside, cam_idx, axis=2)
-    wts = jnp.take_along_axis(weights, cam_idx[..., None, None], axis=2)
+    # Camera selection via one-hot einsums, NOT take_along_axis: the VJP of a
+    # gather is a scatter, and XLA:TPU scatters cost ~10 us per row — one
+    # backward pass through a take_along_axis compaction here measured ~1.5 s.
+    # The one-hot contraction's backward is another dense einsum (~us).
+    sel = jax.nn.one_hot(cam_idx, num_cams, dtype=weights.dtype)  # [b,M0,k,c]
+    pts = jnp.einsum("bmkc,bmcd->bmkd", sel.astype(points_2d.dtype), points_2d)
+    ins = jnp.einsum("bmkc,bmc->bmk", sel, inside.astype(weights.dtype))
+    wts = jnp.einsum("bmkc,bmclg->bmklg", sel, weights)
 
     M = M0 * cam_k
     x = pts[..., 0].reshape(bs, M)
