@@ -146,3 +146,40 @@ def test_model_level_sampler_parity():
         np.asarray(out_fast["det"]["prediction"]),
         np.asarray(out_ref["det"]["prediction"]), atol=2e-3,
     )
+
+
+def test_dense_fmap_grad_parity():
+    """patch_bilinear's matmul adjoint must equal XLA's scatter adjoint.
+
+    The production sampler computes d(feature_maps) with chunked einsums
+    (see ``patch_bilinear``); the scatter formulation is ground truth.
+    fp32 + HIGHEST matmul precision isolates the algorithm from bf16
+    operand rounding (JAX's DEFAULT precision multiplies in bf16).
+    """
+    from functools import partial
+
+    from hipad_tpu.ops.sampling import deformable_aggregation_topk
+
+    rng = np.random.RandomState(11)
+    bs, cams, C, G = 2, 4, 32, 4
+    shapes = [(16, 24), (8, 12)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    A, P = 6, 5
+    pts = jnp.asarray(rng.rand(bs, A, P, cams, 2).astype(np.float32))
+    w = jnp.asarray(rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32))
+    key = jnp.asarray(rng.randn(bs, A, C).astype(np.float32))
+
+    def loss(f0, f1, dense):
+        out = deformable_aggregation_topk(
+            [f0, f1], pts, w, cam_k=3, matmul_levels=(),
+            dense_fmap_grad=dense)
+        return (out * key).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g_dense = jax.grad(partial(loss, dense=True), argnums=(0, 1))(*feats)
+        g_scatter = jax.grad(partial(loss, dense=False), argnums=(0, 1))(*feats)
+    for a, b in zip(g_dense, g_scatter):
+        scale = np.abs(np.asarray(b)).max()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5 * scale)
