@@ -285,10 +285,12 @@ _PATCH_DN = jax.lax.GatherDimensionNumbers(
     start_index_map=(0, 1, 2),
 )
 
-# Chunk length for the dense feature-map gradient: contraction dim of the
-# per-chunk matmul. 512 keeps the MXU busy while bounding the [P, W, C]
-# intermediate to ~40 MB bf16 at stage-2 level 0.
-_FMGRAD_CHUNK = 512
+# Per-batch-element chunk length for the dense feature-map gradient: the
+# contraction dim of the per-chunk matmul. Longer chunks amortize the
+# [R, W, C] accumulator's HBM round-trip (measured best at 2048 on v5e);
+# the backward divides by the batch size to bound the [bs, P, W, C]
+# intermediate (~170 MB bf16 at stage-2 level 0).
+_FMGRAD_CHUNK = 2048
 
 
 def _patch_gather(feat: jnp.ndarray, cam, sy, sx) -> jnp.ndarray:
@@ -341,20 +343,23 @@ def _patch_bilinear_bwd(res, g_out):
     # the next camera's rows).
     R = cams * H
     row = cam * H + sy  # [bs, M]
-    n = -(-M // _FMGRAD_CHUNK)
-    pad = n * _FMGRAD_CHUNK - M
+    P = max(256, _FMGRAD_CHUNK // bs)
+    n = -(-M // P)
+    pad = n * P - M
 
     def pad_chunks(a):
         widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
         a = jnp.pad(a, widths)  # padded wy/wx are zero -> no contribution
-        a = a.reshape((bs, n, _FMGRAD_CHUNK) + a.shape[2:])
+        a = a.reshape((bs, n, P) + a.shape[2:])
         return a.swapaxes(0, 1)  # scan over chunks
 
     rr = jnp.arange(R)
     cc = jnp.arange(W)
     # Matmul operand dtype follows the cotangent (bf16 in training, like
     # every other matmul in the model); accumulation is always fp32.
-    bf = g_out.dtype
+    # XLA:CPU cannot dispatch BF16 x BF16 = F32 dots, so CPU (tests,
+    # multi-chip dryruns) computes the operands in fp32.
+    bf = jnp.float32 if jax.default_backend() == "cpu" else g_out.dtype
 
     def step(acc, ch):
         row_c, sx_c, wy_c, wx_c, g_c = ch  # [bs, P, ...]

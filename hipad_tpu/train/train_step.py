@@ -59,8 +59,13 @@ def create_train_state(
     rng: jax.Array,
     tx: optax.GradientTransformation,
     batch_size: int = 1,
-    dtype=None,
+    dtype=jnp.bfloat16,
 ) -> Tuple[HiPAD, TrainState]:
+    """``dtype`` is the *compute* dtype (activations/matmuls); params, grads
+    and optimizer state stay fp32 (flax ``param_dtype`` default). bf16
+    compute is the TPU counterpart of the reference's fp16 + static loss
+    scale 32 recipe (`configs/*.py fp16 dict`) — bf16's exponent range makes
+    the loss scale unnecessary. Pass ``dtype=None`` for full fp32."""
     from ..data import synthetic
 
     model = HiPAD(cfg, dtype=dtype)
@@ -106,6 +111,15 @@ def make_train_step(cfg: HiPADConfig, model: HiPAD, with_depth: bool = True):
             rngs=rngs, mutable=["batch_stats"],
         )
         depth_preds = outputs.pop("depth", None)
+        # Losses, target assignment and the Hungarian run in fp32 whatever
+        # the model's compute dtype (bf16 cost matrices would quantize the
+        # matching); the cast's transpose returns bf16 cotangents to the
+        # model backward — standard mixed precision.
+        to_f32 = lambda a: (a.astype(jnp.float32)
+                            if jnp.issubdtype(a.dtype, jnp.floating) else a)
+        outputs = jax.tree.map(to_f32, outputs)
+        if depth_preds is not None:
+            depth_preds = jax.tree.map(to_f32, depth_preds)
         losses = hipad_loss.compute_losses(cfg, outputs, data, depth_preds=depth_preds)
         total = hipad_loss.total_loss(losses)
         return total, (losses, new_banks, mutated.get("batch_stats", batch_stats))
