@@ -13,6 +13,7 @@ inference per tick on an RTX 4090 (`hipad_b2d_agent.py:250`,
 sustained). BASELINE.json's north star is >=3x.
 """
 
+import argparse
 import json
 import time
 
@@ -23,14 +24,14 @@ BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
 N_ITERS = 16
 
 
-def main():
+def main(**overrides):
     from hipad_tpu.configs.model import stage2
     from hipad_tpu.data import synthetic
     from hipad_tpu.models.detector import HiPAD
     from hipad_tpu.models.instance_bank import init_bank_states
     from hipad_tpu.train.train_step import META_KEYS
 
-    cfg = stage2()
+    cfg = stage2(**overrides)
     model = HiPAD(cfg, dtype=jnp.bfloat16)
     bs = 1
     batch = synthetic.make_batch(cfg, bs)
@@ -70,4 +71,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # config overrides for sampler A/B runs, e.g.
+    #   python bench.py --set sampler_row_packed=True --set sampler_cam_k=2
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--set", action="append", default=[],
+                        help="cfg override key=python_literal")
+    args = parser.parse_args()
+    import ast as _ast
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = _ast.literal_eval(v)
+    main(**overrides)

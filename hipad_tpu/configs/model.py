@@ -168,12 +168,37 @@ class HiPADConfig:
     with_distance_attn_mask: bool = False
     with_velocity_attn_mask: bool = False
 
+    # --- optional point-expanded map/plan queries (OFF in shipped configs,
+    # `sparse_onedecoder.py:145-148,676-724`): in concat/gnn/split ops each
+    # map anchor becomes 20 per-point queries (plan: ego_fut_ts) sharing the
+    # instance feature, with per-point positional embeds; split squeezes
+    # back through an MLP. with_deform_*_points feeds the per-point embeds
+    # to the deformable weights head (`blocks.py:178-189`). ------------------
+    with_concat_map_points: bool = False
+    with_concat_plan_points: bool = False
+    with_deform_map_points: bool = False
+    with_deform_plan_points: bool = False
+
+    # --- optional per-layer plan-mode pruning (OFF in shipped configs,
+    # `sparse_onedecoder.py:150-152,982-1007`): after refine layer i keep the
+    # top ``topk_mode_list[i]`` modes per anchor-type group. Live queries are
+    # really pruned (static per-layer shapes); only the per-layer OUTPUT
+    # stacks are padded back to the full count, with cls=-1e9 / reg=+1e6 so
+    # no downstream argmin/topk/loss target ever selects a padded slot. ----
+    with_topk_mode: bool = False
+    topk_mode_list: Optional[Tuple[int, ...]] = None
+    keep_topk_relative_pos: bool = False
+
     # --- deformable sampler backend (see ops/sampling.py) -------------------
     # "reference": row gathers (parity oracle) | "topk": camera-compacted
     # patch gathers + MXU sampling on coarse levels (production TPU path).
     sampler: str = "topk"
     sampler_cam_k: int = 3
     sampler_matmul_levels: Tuple[int, ...] = (2, 3)
+    # Gather each sample's whole (2,2,C) bilinear patch as ONE pre-packed
+    # 4C row (ops/sampling.py:build_packed_level) instead of a (2,2,C)
+    # slice gather — XLA:TPU gathers are per-row latency-bound.
+    sampler_row_packed: bool = False
     # Fuse all tasks' sampling into one call per layer. Measured slightly
     # slower than per-task calls (concat copies outweigh the amortized
     # dispatch overhead) — kept as an option.
@@ -208,6 +233,15 @@ class HiPADConfig:
             )
         if self.embed_dims % self.num_groups != 0:
             raise ValueError("embed_dims must divide into num_groups")
+        if self.with_topk_mode:
+            n_refine = self.operation_order.count("refine")
+            if self.topk_mode_list is None or len(self.topk_mode_list) < n_refine:
+                raise ValueError(
+                    "with_topk_mode needs topk_mode_list with one entry per "
+                    f"refine layer ({n_refine}); got {self.topk_mode_list!r}"
+                )
+            if any(k < 1 for k in self.topk_mode_list):
+                raise ValueError("topk_mode_list entries must be >= 1")
 
     # ---- derived -------------------------------------------------------------
     @property

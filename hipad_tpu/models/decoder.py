@@ -31,7 +31,7 @@ from ..core.geometry import agent_to_lidar_trajs, sine_embed_2d
 from ..ops.sampling import front_view_feature
 from . import instance_bank as banks
 from .attention_blocks import GroupedCrossAttention, cross_attention_groups, self_attention_groups
-from .common import MLPLN, AsymmetricFFN
+from .common import MLP, MLPLN, AsymmetricFFN
 from .deformable import DeformableAggregation
 from .encoders import SparseBox3DEncoder, SparsePoint3DEncoder
 from .keypoints import BoxKeypoints, PointKeypoints
@@ -107,8 +107,35 @@ class SparseOneDecoder(nn.Module):
             embed_dims=(C // 2, C // 8, C // 8, C // 4),
             dtype=self.dtype, name="det_anchor_encoder",
         )
-        map_enc = SparsePoint3DEncoder(C, dtype=self.dtype, name="map_anchor_encoder")
-        plan_enc = SparsePoint3DEncoder(C, dtype=self.dtype, name="plan_anchor_encoder")
+        # Point-expansion options (`sparse_onedecoder.py:145-148`): when any
+        # map/plan per-point option is on, that task's anchor encoder is the
+        # per-point KeyPoint3DEncoder (`map/blocks.py:45-77`) producing both
+        # the instance embed and a per-sample-point embed. ``enc_map`` /
+        # ``enc_plan`` always return ``(instance_embed, points_embed_or_None)``.
+        map_points = cfg.with_concat_map_points or cfg.with_deform_map_points
+        plan_points = cfg.with_concat_plan_points or cfg.with_deform_plan_points
+        from .encoders import KeyPoint3DEncoder
+
+        if map_points:
+            _map_enc = KeyPoint3DEncoder(C, num_sample=cfg.map_num_pts,
+                                         dtype=self.dtype,
+                                         name="map_anchor_encoder")
+            enc_map = _map_enc
+        else:
+            _map_enc = SparsePoint3DEncoder(C, dtype=self.dtype,
+                                            name="map_anchor_encoder")
+            enc_map = lambda a: (_map_enc(a), None)
+        if plan_points:
+            _plan_enc = KeyPoint3DEncoder(C, num_sample=cfg.ego_fut_ts,
+                                          dtype=self.dtype,
+                                          name="plan_anchor_encoder")
+            enc_plan = _plan_enc
+        else:
+            _plan_enc = SparsePoint3DEncoder(C, dtype=self.dtype,
+                                             name="plan_anchor_encoder")
+            enc_plan = lambda a: (_plan_enc(a), None)
+        map_enc = lambda a: enc_map(a)[0]
+        plan_enc = lambda a: enc_plan(a)[0]
         ego_fv = FrontViewEncoder(C, dtype=self.dtype, name="ego_feature_encoder")
         plan_fv = FrontViewEncoder(C, dtype=self.dtype, name="plan_feature_encoder")
         fc_before = nn.Dense(C * 2, use_bias=False, dtype=self.dtype, name="fc_before")
@@ -138,10 +165,14 @@ class SparseOneDecoder(nn.Module):
         tfeat["det"] = temp_det_feat
         tembed["det"] = det_enc(temp_det_anchor) if has_temp else None
 
+        # per-sample-point embeds (only with the point-expansion options)
+        pts_embed: Dict[str, Optional[jnp.ndarray]] = {"map": None, "plan": None}
+        temp_pts_embed: Dict[str, Optional[jnp.ndarray]] = {"map": None, "plan": None}
+
         # map (no temporal instances in the shipped config)
         feat["map"] = jnp.tile(map_feat_p[None], (bs, 1, 1))
         anchor["map"] = jnp.tile(map_anchor_p[None], (bs, 1, 1))
-        embed["map"] = map_enc(anchor["map"])
+        embed["map"], pts_embed["map"] = enc_map(anchor["map"])
         tfeat["map"] = None
         tembed["map"] = None
 
@@ -149,12 +180,15 @@ class SparseOneDecoder(nn.Module):
         plan_base = plan_fv(front_view_feature(feature_maps), train)  # [bs, C]
         feat["plan"] = jnp.tile(plan_base[:, None], (1, cfg.num_plan_anchor, 1))
         anchor["plan"] = jnp.tile(plan_anchor_p[None], (bs, 1, 1))
-        embed["plan"] = plan_enc(anchor["plan"])
+        embed["plan"], pts_embed["plan"] = enc_plan(anchor["plan"])
         temp_plan_feat, temp_plan_anchor = banks.plan_bank_get(
             cfg, bank_states.plan if has_temp else None
         )
         tfeat["plan"] = temp_plan_feat
-        tembed["plan"] = plan_enc(temp_plan_anchor) if has_temp else None
+        if has_temp:
+            tembed["plan"], temp_pts_embed["plan"] = enc_plan(temp_plan_anchor)
+        else:
+            tembed["plan"] = None
 
         # ego
         ego_base = ego_fv(front_view_feature(feature_maps), train)
@@ -170,15 +204,48 @@ class SparseOneDecoder(nn.Module):
         cur_sections = cfg.sections(cfg.query_counts)
         temp_sections = cfg.sections(cfg.temp_query_counts)
 
-        def joint(d: Dict[str, Optional[jnp.ndarray]], counts) -> jnp.ndarray:
-            parts = []
+        # Per-point expansion factors for the concat/gnn/split ops
+        # (`sparse_onedecoder.py:676-724`): S > 0 tiles each anchor's feature
+        # across its S sample points (interleaved — the reference's
+        # block-`repeat` pairs features with other anchors' point embeds,
+        # an upstream quirk not reproduced) and swaps the positional embed
+        # for the per-point one.
+        expand_S = {
+            "map": cfg.map_num_pts if cfg.with_concat_map_points else 0,
+            "plan": cfg.ego_fut_ts if cfg.with_concat_plan_points else 0,
+        }
+
+        def joint_pair(f_d, e_d, p_d):
+            """Concat features+embeds over query_select with optional
+            per-point expansion. Returns (feat, embed, sections)."""
+            fparts, eparts, sections, start = [], [], {}, 0
             for q in qs:
-                v = d[q]
-                if v is None:
-                    width = parts[0].shape[-1] if parts else C
-                    v = jnp.zeros((bs, 0, width), jnp.float32)
-                parts.append(v)
-            return jnp.concatenate(parts, axis=1)
+                f, e = f_d[q], e_d[q]
+                if f is None:
+                    f = jnp.zeros((bs, 0, C), jnp.float32)
+                    e = jnp.zeros((bs, 0, C), jnp.float32)
+                S = expand_S.get(q, 0)
+                if S and f.shape[1]:
+                    f = jnp.repeat(f, S, axis=1)
+                    e = p_d[q]
+                fparts.append(f)
+                eparts.append(e)
+                sections[q] = (start, start + f.shape[1])
+                start += f.shape[1]
+            return (jnp.concatenate(fparts, axis=1),
+                    jnp.concatenate(eparts, axis=1), sections)
+
+        # shared point-squeeze MLPs (`sparse_onedecoder.py:240-247,306-313`)
+        if cfg.with_concat_map_points:
+            squeeze_map = MLP(
+                features=(cfg.map_num_pts * C // 4, C, C), dtype=self.dtype,
+                name="squeeze_map_instance",
+            )
+        if cfg.with_concat_plan_points:
+            squeeze_plan = MLP(
+                features=(cfg.ego_fut_ts * C // 2, C, C), dtype=self.dtype,
+                name="squeeze_plan_instance",
+            )
 
         # ============== attention op modules ============================
         gnn_groups = self_attention_groups([("det",), ("map",)], [True, False])
@@ -221,17 +288,26 @@ class SparseOneDecoder(nn.Module):
 
         for op_idx, op in enumerate(cfg.operation_order):
             if op == "concat":
-                joint_feat = joint(feat, cfg.query_counts)
-                joint_embed = joint(embed, cfg.query_counts)
+                joint_feat, joint_embed, cur_sections = joint_pair(
+                    feat, embed, pts_embed)
                 if has_temp:
-                    temp_joint_feat = joint(tfeat, cfg.temp_query_counts)
-                    temp_joint_embed = joint(tembed, cfg.temp_query_counts)
+                    temp_joint_feat, temp_joint_embed, temp_sections = (
+                        joint_pair(tfeat, tembed, temp_pts_embed))
 
             elif op == "split":
                 for q in qs:
                     s, e = cur_sections[q]
-                    feat[q] = joint_feat[:, s:e]
-                    embed[q] = joint_embed[:, s:e]
+                    S = expand_S.get(q, 0)
+                    if S and e > s:
+                        # squeeze the S per-point features back to one
+                        # instance feature (`sparse_onedecoder.py:758-772`)
+                        n = (e - s) // S
+                        x = joint_feat[:, s:e].reshape(bs, n, S * C)
+                        feat[q] = (squeeze_map if q == "map" else squeeze_plan)(x)
+                        pts_embed[q] = joint_embed[:, s:e]
+                    else:
+                        feat[q] = joint_feat[:, s:e]
+                        embed[q] = joint_embed[:, s:e]
 
             elif op == "gnn":
                 joint_feat = GroupedCrossAttention(
@@ -297,6 +373,7 @@ class SparseOneDecoder(nn.Module):
                     num_levels=cfg.num_levels, num_cams=cfg.num_cams,
                     sampler=cfg.sampler, sampler_cam_k=cfg.sampler_cam_k,
                     sampler_matmul_levels=cfg.sampler_matmul_levels,
+                    sampler_row_packed=cfg.sampler_row_packed,
                     dtype=self.dtype,
                 )
                 kps_by_task = {
@@ -313,11 +390,22 @@ class SparseOneDecoder(nn.Module):
                     nn.remat(DeformableAggregation, static_argnums=(7,))
                     if cfg.decoder_remat else DeformableAggregation
                 )
+                # per-task per-point embeds for the weights head
+                # (`sparse_onedecoder.py:876-882`, `blocks.py:178-189`)
+                deform_S = {
+                    "map": cfg.map_num_pts if cfg.with_deform_map_points else 0,
+                    "plan": cfg.ego_fut_ts if cfg.with_deform_plan_points else 0,
+                }
                 modules = {
                     q: deform_cls(
                         kps=kps_by_task[q], name=f"{q}_deformable_{deform_i}",
+                        use_points_embed=deform_S.get(q, 0),
                         **common,
                     )
+                    for q in qs
+                }
+                deform_embed = {
+                    q: (pts_embed[q] if deform_S.get(q, 0) else embed[q])
                     for q in qs
                 }
                 if cfg.sampler == "topk" and cfg.fused_deformable:
@@ -329,7 +417,7 @@ class SparseOneDecoder(nn.Module):
                     ofs = 0
                     for q in qs:
                         pts2d, wq = modules[q].prepare(
-                            feat[q], anchor[q], embed[q], projection_mat,
+                            feat[q], anchor[q], deform_embed[q], projection_mat,
                             image_wh, deterministic=det,
                         )
                         nq, pq = pts2d.shape[1:3]
@@ -345,6 +433,7 @@ class SparseOneDecoder(nn.Module):
                         jnp.concatenate(parts_w, axis=1),
                         cam_k=cfg.sampler_cam_k,
                         matmul_levels=cfg.sampler_matmul_levels,
+                        row_packed=cfg.sampler_row_packed,
                     )  # [bs, SUM(n*p), C]
                     for q in qs:
                         s, e, nq, pq = spans[q]
@@ -353,7 +442,7 @@ class SparseOneDecoder(nn.Module):
                 else:
                     for q in qs:
                         feat[q] = modules[q](
-                            feat[q], anchor[q], embed[q], feature_maps,
+                            feat[q], anchor[q], deform_embed[q], feature_maps,
                             projection_mat, image_wh, det,
                         )
                 deform_i += 1
@@ -386,7 +475,7 @@ class SparseOneDecoder(nn.Module):
                 anchor["map"] = new_map_anchor
                 out["map"]["prediction"].append(anchor["map"])
                 out["map"]["classification"].append(map_cls)
-                embed["map"] = map_enc(anchor["map"])
+                embed["map"], pts_embed["map"] = enc_map(anchor["map"])
 
                 # ---- motion ----------------------------------------------
                 if "motion" in cfg.task_select:
@@ -425,18 +514,78 @@ class SparseOneDecoder(nn.Module):
                 plan_reg, plan_cls = SparsePlanAlignRefinement(
                     cfg, dtype=self.dtype, name=f"plan_refine_{refine_i}"
                 )(feat["plan"], anchor["plan"], plan_embed)
+
+                # optional per-layer plan-mode pruning
+                # (`sparse_onedecoder.py:982-1007`)
+                per_full = cfg.ego_fut_cmd * cfg.ego_fut_mode
+                ng = cfg.plan_anchor_group
+                if cfg.with_topk_mode and cfg.topk_mode_list is not None:
+                    per_prev = plan_reg.shape[1] // ng
+                    k_l = min(int(cfg.topk_mode_list[refine_i]), per_prev)
+                    if k_l < per_prev:
+                        cls_g = plan_cls.reshape(bs, ng, per_prev)
+                        scores, idx = jax.lax.top_k(cls_g, k_l)
+                        if cfg.keep_topk_relative_pos:
+                            idx = jnp.sort(idx, axis=-1)
+                            scores = jnp.take_along_axis(cls_g, idx, axis=-1)
+
+                        def take(a):
+                            ag = a.reshape((bs, ng, per_prev, -1))
+                            return jnp.take_along_axis(ag, idx[..., None], axis=2)
+
+                        plan_reg = take(plan_reg).reshape(bs, ng * k_l, -1)
+                        feat["plan"] = take(feat["plan"]).reshape(bs, ng * k_l, -1)
+                        plan_cls = scores.reshape(bs, ng * k_l, 1).astype(plan_cls.dtype)
+
                 anchor["plan"] = plan_reg
                 wp = plan_reg.reshape(bs, -1, cfg.ego_fut_ts, 2)
                 offsets = jnp.concatenate(
                     [wp[..., :1, :], wp[..., 1:, :] - wp[..., :-1, :]], axis=-2
                 )
-                out["plan"]["prediction"].append(offsets[:, None])  # [bs,1,N,ts,2]
-                out["plan"]["classification"].append(plan_cls.reshape(bs, 1, -1))
-                embed["plan"] = plan_enc(anchor["plan"])
+
+                def _pad_groups(x, fill):
+                    """Pad pruned per-group modes back to the full count so
+                    the per-layer output stacks stay static; filled slots
+                    carry cls=-1e9 / reg=+1e6 so no argmin/topk downstream
+                    ever selects them."""
+                    n = x.shape[1]
+                    if n == ng * per_full:
+                        return x
+                    k = n // ng
+                    xg = x.reshape((bs, ng, k) + x.shape[2:])
+                    pad = jnp.full((bs, ng, per_full - k) + x.shape[2:], fill,
+                                   x.dtype)
+                    return jnp.concatenate([xg, pad], axis=2).reshape(
+                        (bs, ng * per_full) + x.shape[2:])
+
+                out["plan"]["prediction"].append(
+                    _pad_groups(offsets, 1e6)[:, None])  # [bs,1,N,ts,2]
+                out["plan"]["classification"].append(
+                    _pad_groups(plan_cls.reshape(bs, -1, 1), -1e9).reshape(bs, 1, -1))
+                embed["plan"], pts_embed["plan"] = enc_plan(anchor["plan"])
 
                 refine_i += 1
             else:
                 raise NotImplementedError(f"unknown op {op!r}")
+
+        # With topk pruning, pad the final plan tensors back to the full
+        # mode count before caching/export (zero features & anchors, -1e9
+        # confidence — never re-selected by the bank's top-k or decoders).
+        n_plan_full = cfg.plan_anchor_group * cfg.ego_fut_cmd * cfg.ego_fut_mode
+        if anchor["plan"].shape[1] < n_plan_full:
+            ng = cfg.plan_anchor_group
+            k = anchor["plan"].shape[1] // ng
+            pf = cfg.ego_fut_cmd * cfg.ego_fut_mode
+
+            def _pad_full(x, fill):
+                xg = x.reshape((bs, ng, k) + x.shape[2:])
+                pad = jnp.full((bs, ng, pf - k) + x.shape[2:], fill, x.dtype)
+                return jnp.concatenate([xg, pad], axis=2).reshape(
+                    (bs, ng * pf) + x.shape[2:])
+
+            feat["plan"] = _pad_full(feat["plan"], 0.0)
+            anchor["plan"] = _pad_full(anchor["plan"], 0.0)
+            plan_cls = _pad_full(plan_cls.reshape(bs, -1, 1), -1e9)
 
         # ============== cache banks for the next frame ===================
         new_det_state, temp_conf = banks.det_bank_cache(

@@ -36,6 +36,15 @@ class DeformableAggregation(nn.Module):
     sampler: str = "topk"
     sampler_cam_k: int = 3
     sampler_matmul_levels: tuple = (2, 3)
+    sampler_row_packed: bool = False
+    # When > 0, `anchor_embed` is a per-sample-point embedding
+    # [bs, n * use_points_embed, C] and the weights head consumes the
+    # points-expanded feature (`blocks.py:178-189`, use_points_embed path).
+    # The reference block-repeats the instance feature against anchor-major
+    # point embeds (`blocks.py:181` `repeat(1, num_sample, 1)`), scrambling
+    # the (anchor, point) pairing; here the tile is interleaved so feature i
+    # pairs with its own anchor's points.
+    use_points_embed: int = 0
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -71,7 +80,15 @@ class DeformableAggregation(nn.Module):
         cam_embed = self.camera_encoder(
             projection_mat[:, :, :3, :].reshape(bs, self.num_cams, 12)
         )
-        feat = (instance_feature + anchor_embed)[:, :, None] + cam_embed[:, None]
+        if self.use_points_embed:
+            # per-point embeds: [bs, n*S, C]; interleaved tile (see field doc)
+            S = self.use_points_embed
+            tiled = jnp.repeat(instance_feature, S, axis=1)
+            pf = (tiled + anchor_embed)[:, :, None] + cam_embed[:, None]
+            pf = pf.reshape(bs, n, S, self.num_cams, -1)
+            feat = jnp.swapaxes(pf, 2, 3).reshape(bs, n, self.num_cams, -1)
+        else:
+            feat = (instance_feature + anchor_embed)[:, :, None] + cam_embed[:, None]
         w = self.weights_fc(feat)  # [bs, n, cams, G*L*P]
         w = w.reshape(bs, n, self.num_cams * self.num_levels * num_pts, self.num_groups)
         w = jax.nn.softmax(w, axis=-2)
@@ -113,6 +130,7 @@ class DeformableAggregation(nn.Module):
                 feature_maps, pts2d, w,
                 cam_k=self.sampler_cam_k,
                 matmul_levels=self.sampler_matmul_levels,
+                row_packed=self.sampler_row_packed,
             )
         else:
             features = deformable_aggregation(feature_maps, pts2d, w)

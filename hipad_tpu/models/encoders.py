@@ -48,3 +48,29 @@ class SparsePoint3DEncoder(nn.Module):
     @nn.compact
     def __call__(self, anchor: jnp.ndarray) -> jnp.ndarray:
         return MLPLN(self.embed_dims, 1, 2, dtype=self.dtype, name="pos_fc")(anchor)
+
+
+class KeyPoint3DEncoder(nn.Module):
+    """Per-point + instance polyline encoder (`models/map/blocks.py:45-77`).
+
+    Used instead of :class:`SparsePoint3DEncoder` when the decoder runs with
+    point-expanded map/plan queries (``with_concat_map_points`` /
+    ``with_deform_plan_points`` families): returns both the per-anchor
+    instance embedding and a per-sample-point embedding
+    ``[bs, n * num_sample, C]`` built from each point's (x, y).
+    """
+
+    embed_dims: int = 256
+    num_sample: int = 6
+    coords_dim: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, anchor: jnp.ndarray):
+        bs, n = anchor.shape[:2]
+        pts = anchor.reshape(bs, n * self.num_sample, self.coords_dim)
+        points_embed = MLPLN(self.embed_dims, 1, 2, dtype=self.dtype,
+                             name="embed_points")(pts[..., :2])
+        instance_embed = MLPLN(self.embed_dims, 1, 2, dtype=self.dtype,
+                               name="embed_instance")(anchor)
+        return instance_embed, points_embed

@@ -134,7 +134,11 @@ class SparsePlanAlignRefinement(nn.Module):
         d = c.embed_dims
         types = c.plan_anchor_types
         bs = instance_feature.shape[0]
-        per = c.ego_fut_cmd * c.ego_fut_mode
+
+        # With with_topk_mode the per-group mode count shrinks below
+        # cmd*ego_fut_mode after pruned layers — derive it from the query
+        # tensor so the block slicing follows (`plan/blocks.py:110`).
+        per = instance_feature.shape[1] // len(types)
 
         x = instance_feature + anchor_embed
         blocks = [x[:, i * per : (i + 1) * per] for i in range(len(types))]

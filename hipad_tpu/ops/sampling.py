@@ -333,54 +333,115 @@ def _patch_bilinear_fwd(feat, cam, sy, sx, wy, wx):
 
 def _patch_bilinear_bwd(res, g_out):
     feat, cam, sy, sx, wy, wx = res
-    bs, cams, H, W, C = feat.shape
-    M = cam.shape[1]
     patch = _patch_gather(feat, cam, sy, sx).astype(g_out.dtype)
     g_wy = jnp.einsum("bmC,bmijC,bmj->bmi", g_out, patch, wx)
     g_wx = jnp.einsum("bmC,bmijC,bmi->bmj", g_out, patch, wy)
+    g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return g_feat, f0(cam), f0(sy), f0(sx), g_wy, g_wx
 
-    # Row index folds camera and y (sy <= H-2, so sy+1 never crosses into
-    # the next camera's rows).
+
+patch_bilinear.defvjp(_patch_bilinear_fwd, _patch_bilinear_bwd)
+
+
+def build_packed_level(feat: jnp.ndarray) -> jnp.ndarray:
+    """Pack each (2,2) bilinear footprint into ONE row: ``[bs, cams, H, W, C]
+    -> [bs, cams*H*W, 4C]`` with row (c,y,x) = concat(F[y,x], F[y,x+1],
+    F[y+1,x], F[y+1,x+1]).
+
+    XLA:TPU gathers are per-row latency-bound, so fetching a sample's whole
+    bilinear patch as one 4C row costs ~1 row instead of the (2,2,C) slice
+    gather's ~3 row-units. Edge rows wrap via roll but are never addressed:
+    patch starts are clamped to H-2/W-2.
+    """
+    f01 = jnp.roll(feat, -1, axis=3)
+    f10 = jnp.roll(feat, -1, axis=2)
+    f11 = jnp.roll(f10, -1, axis=3)
+    q = jnp.concatenate([feat, f01, f10, f11], axis=-1)
+    return q.reshape(feat.shape[0], -1, 4 * feat.shape[-1])
+
+
+@jax.custom_vjp
+def packed_row_bilinear(feat, packed, cam, sy, sx, wy, wx):
+    """Bilinear sampling via ONE packed-row gather per sample.
+
+    Forward reads ``packed`` (see :func:`build_packed_level`); the backward
+    ignores packed's cotangent and computes d(feat) directly with the dense
+    chunked-matmul adjoint of :func:`patch_bilinear` — mathematically the
+    same total gradient, since the output depends on ``feat`` only through
+    the (linear) packing.
+
+    Args:
+      feat: [bs, cams, H, W, C] (used only by the backward).
+      packed: [bs, cams*H*W, 4C] from build_packed_level(feat).
+      cam/sy/sx: [bs, M] int32 patch origins (sy<=H-2, sx<=W-2).
+      wy/wx: [bs, M, 2] bilinear row/col weights.
+    Returns [bs, M, C].
+    """
+    bs, cams, H, W, C = feat.shape
+    fidx = (cam * H + sy) * W + sx
+    rows = jnp.take_along_axis(packed, fidx[..., None], axis=1)
+    patch = rows.reshape(rows.shape[0], rows.shape[1], 2, 2, C).astype(wy.dtype)
+    return jnp.einsum("bmijC,bmi,bmj->bmC", patch, wy, wx)
+
+
+def _packed_row_bilinear_fwd(feat, packed, cam, sy, sx, wy, wx):
+    out = packed_row_bilinear.__wrapped__(feat, packed, cam, sy, sx, wy, wx)
+    return out, (feat, packed, cam, sy, sx, wy, wx)
+
+
+def _packed_row_bilinear_bwd(res, g_out):
+    feat, packed, cam, sy, sx, wy, wx = res
+    bs, cams, H, W, C = feat.shape
+    # re-gather the patch (cheap single rows) for d(wy)/d(wx)
+    fidx = (cam * H + sy) * W + sx
+    rows = jnp.take_along_axis(packed, fidx[..., None], axis=1)
+    patch = rows.reshape(bs, -1, 2, 2, C).astype(g_out.dtype)
+    g_wy = jnp.einsum("bmC,bmijC,bmj->bmi", g_out, patch, wx)
+    g_wx = jnp.einsum("bmC,bmijC,bmi->bmj", g_out, patch, wy)
+    # d(feat): same dense-matmul adjoint as patch_bilinear (2-hot rows/cols)
+    g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (g_feat, jnp.zeros_like(packed), f0(cam), f0(sy), f0(sx), g_wy, g_wx)
+
+
+packed_row_bilinear.defvjp(_packed_row_bilinear_fwd, _packed_row_bilinear_bwd)
+
+
+def _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
+    """Feature-map gradient as chunked MXU einsums (see patch_bilinear)."""
+    bs, cams, H, W, C = feat.shape
+    M = cam.shape[1]
     R = cams * H
-    row = cam * H + sy  # [bs, M]
+    row = cam * H + sy
     P = max(256, _FMGRAD_CHUNK // bs)
     n = -(-M // P)
     pad = n * P - M
 
     def pad_chunks(a):
         widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
-        a = jnp.pad(a, widths)  # padded wy/wx are zero -> no contribution
+        a = jnp.pad(a, widths)
         a = a.reshape((bs, n, P) + a.shape[2:])
-        return a.swapaxes(0, 1)  # scan over chunks
+        return a.swapaxes(0, 1)
 
     rr = jnp.arange(R)
     cc = jnp.arange(W)
-    # Matmul operand dtype follows the cotangent (bf16 in training, like
-    # every other matmul in the model); accumulation is always fp32.
-    # XLA:CPU cannot dispatch BF16 x BF16 = F32 dots, so CPU (tests,
-    # multi-chip dryruns) computes the operands in fp32.
     bf = jnp.float32 if jax.default_backend() == "cpu" else g_out.dtype
 
     def step(acc, ch):
-        row_c, sx_c, wy_c, wx_c, g_c = ch  # [bs, P, ...]
+        row_c, sx_c, wy_c, wx_c, g_c = ch
         w_row = (wy_c[..., 0:1] * (rr == row_c[..., None])
-                 + wy_c[..., 1:2] * (rr == row_c[..., None] + 1))  # [bs,P,R]
+                 + wy_c[..., 1:2] * (rr == row_c[..., None] + 1))
         w_col = (wx_c[..., 0:1] * (cc == sx_c[..., None])
-                 + wx_c[..., 1:2] * (cc == sx_c[..., None] + 1))  # [bs,P,W]
-        v = (w_col[..., None] * g_c[:, :, None, :]).astype(bf)  # [bs,P,W,C]
+                 + wx_c[..., 1:2] * (cc == sx_c[..., None] + 1))
+        v = (w_col[..., None] * g_c[:, :, None, :]).astype(bf)
         return acc + jnp.einsum("bpr,bpwc->brwc", w_row.astype(bf), v,
                                 preferred_element_type=jnp.float32), None
 
     chunks = tuple(pad_chunks(a) for a in (row, sx, wy, wx, g_out))
     acc0 = jnp.zeros((bs, R, W, C), jnp.float32)
     g_acc, _ = jax.lax.scan(step, acc0, chunks)
-    g_feat = g_acc.reshape(bs, cams, H, W, C).astype(feat.dtype)
-
-    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return g_feat, f0(cam), f0(sy), f0(sx), g_wy, g_wx
-
-
-patch_bilinear.defvjp(_patch_bilinear_fwd, _patch_bilinear_bwd)
+    return g_acc.reshape(bs, cams, H, W, C).astype(feat.dtype)
 
 
 def deformable_samples_topk_flat(
@@ -390,6 +451,7 @@ def deformable_samples_topk_flat(
     cam_k: int = 3,
     matmul_levels: Sequence[int] = (2, 3),
     dense_fmap_grad: bool = True,
+    row_packed: bool = False,
 ) -> jnp.ndarray:
     """Flat per-sample core of the production sampler: -> [bs, M, C] weighted
     features summed over cameras/levels (the caller reduces over its own
@@ -466,6 +528,20 @@ def deformable_samples_topk_flat(
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[..., None] - (sy[..., None] + two)))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[..., None] - (sx[..., None] + two)))
 
+        if row_packed:
+            # one 4C-row gather per sample (see build_packed_level); same
+            # dense matmul feature-map adjoint as patch_bilinear
+            packed = build_packed_level(feat)
+            sampled = packed_row_bilinear(
+                feat, packed, cam, sy, sx,
+                wy.astype(weights.dtype), wx.astype(weights.dtype),
+            )  # [bs, M, C]
+            contrib = (sampled.reshape(bs, M, groups, group_dims)
+                       * w[:, :, lvl][..., None])
+            contrib = contrib.reshape(bs, M0, cam_k, channels)
+            out = out + contrib.sum(axis=2).astype(out.dtype)
+            continue
+
         if dense_fmap_grad:
             sampled = patch_bilinear(
                 feat, cam, sy, sx,
@@ -505,6 +581,7 @@ def deformable_aggregation_topk(
     cam_k: int = 3,
     matmul_levels: Sequence[int] = (2, 3),
     dense_fmap_grad: bool = True,
+    row_packed: bool = False,
 ) -> jnp.ndarray:
     """Camera-compacted hybrid sampler — the production TPU path.
 
@@ -533,7 +610,7 @@ def deformable_aggregation_topk(
         weights.reshape(bs, num_anchor * num_pts, num_cams,
                         weights.shape[-2], weights.shape[-1]),
         cam_k=cam_k, matmul_levels=matmul_levels,
-        dense_fmap_grad=dense_fmap_grad,
+        dense_fmap_grad=dense_fmap_grad, row_packed=row_packed,
     )
     return flat.reshape(bs, num_anchor, num_pts, -1).sum(axis=2)
 

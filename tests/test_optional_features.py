@@ -1,0 +1,132 @@
+"""Optional decoder paths (OFF in the shipped configs, kept for parity):
+
+  * with_concat_map_points / with_concat_plan_points — per-point query
+    expansion in concat/gnn/split with squeeze MLPs
+    (`sparse_onedecoder.py:676-724,758-772`);
+  * with_deform_map_points / with_deform_plan_points — per-point embeds into
+    the deformable weights head (`blocks.py:178-189`);
+  * with_topk_mode — per-layer plan-mode pruning
+    (`sparse_onedecoder.py:982-1007`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipad_tpu.configs.model import tiny
+from hipad_tpu.data import synthetic
+from hipad_tpu.losses.hipad_loss import compute_losses, total_loss
+from hipad_tpu.models.detector import HiPAD
+from hipad_tpu.models.instance_bank import init_bank_states
+from hipad_tpu.train.train_step import META_KEYS
+
+
+def _make(cfg, bs=2):
+    model = HiPAD(cfg)
+    batch = synthetic.make_batch(cfg, bs)
+    images = jnp.asarray(batch["images"])
+    metas = {k: jnp.asarray(batch[k]) for k in META_KEYS}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, metas,
+                           train=False)
+    return model, variables, batch, images, metas
+
+
+POINT_FLAGS = dict(with_concat_map_points=True, with_concat_plan_points=True,
+                   with_deform_map_points=True, with_deform_plan_points=True)
+
+
+def test_point_expansion_forward_shapes():
+    cfg = tiny(**POINT_FLAGS)
+    model, variables, batch, images, metas = _make(cfg)
+    out, _ = model.apply(variables, images, metas, None, train=False)
+    # outputs keep the anchor-level layout regardless of expansion
+    assert out["map"]["prediction"].shape[2] == cfg.num_map_anchor
+    assert out["plan"]["prediction"].shape[3] == cfg.num_plan_anchor
+    for task in ("det", "map", "plan"):
+        assert np.all(np.isfinite(np.asarray(
+            out[task]["prediction"], np.float32)))
+
+
+def test_point_expansion_params_exist_and_shared():
+    cfg = tiny(**POINT_FLAGS)
+    model, variables, *_ = _make(cfg)
+    p = variables["params"]["decoder"]
+    assert "squeeze_map_instance" in p and "squeeze_plan_instance" in p
+    # per-point encoders replace the flat pos_fc encoders
+    assert "embed_points" in p["map_anchor_encoder"]
+    assert "embed_instance" in p["plan_anchor_encoder"]
+    # squeeze MLP widths follow the reference (20C//4 resp. 6C//2 hidden)
+    C = cfg.embed_dims
+    w0 = p["squeeze_map_instance"]["fc_0"]["kernel"]
+    assert w0.shape == (cfg.map_num_pts * C, cfg.map_num_pts * C // 4)
+    w0 = p["squeeze_plan_instance"]["fc_0"]["kernel"]
+    assert w0.shape == (cfg.ego_fut_ts * C, cfg.ego_fut_ts * C // 2)
+    # deformable weights head consumes the points-expanded feature
+    wfc = p["plan_deformable_0"]["weights_fc"]["kernel"]
+    assert wfc.shape[0] == cfg.ego_fut_ts * C
+
+
+def test_point_expansion_temporal_and_grads():
+    cfg = tiny(**POINT_FLAGS)
+    model, variables, batch, images, metas = _make(cfg)
+    banks0 = init_bank_states(cfg, 2)
+    out, banks1 = model.apply(variables, images, metas, banks0, train=False)
+    assert out["plan"]["prediction"].shape[3] == cfg.num_plan_anchor
+
+    data = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def loss_fn(params):
+        (o, _), _ = model.apply(
+            {**variables, "params": params}, images, metas, banks0,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1),
+                  "grid_mask": jax.random.PRNGKey(2)},
+        )
+        return total_loss(compute_losses(cfg, o, data))
+
+    l, g = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    gsq = sum(float(jnp.sum(jnp.square(x)))
+              for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(float(l)) and np.isfinite(gsq)
+    sq = g["decoder"]["squeeze_plan_instance"]["fc_0"]["kernel"]
+    assert float(jnp.max(jnp.abs(sq))) > 0.0  # squeeze path actually used
+
+
+def test_topk_mode_prunes_and_pads():
+    k_last = 2
+    cfg = tiny(with_topk_mode=True, topk_mode_list=(3, k_last),
+               keep_topk_relative_pos=True)
+    model, variables, batch, images, metas = _make(cfg)
+    out, _ = model.apply(variables, images, metas, None, train=False)
+    per = cfg.ego_fut_cmd * cfg.ego_fut_mode
+    ng = cfg.plan_anchor_group
+    cls = np.asarray(out["plan"]["classification"][-1], np.float32)
+    cls = cls.reshape(2, ng, per)
+    # pruned slots carry the -1e9 sentinel, kept slots don't
+    assert np.all(cls[..., k_last:] == -1e9)
+    assert np.all(cls[..., :k_last] > -1e9)
+    reg = np.asarray(out["plan"]["prediction"][-1], np.float32)
+    reg = reg.reshape(2, ng, per, cfg.ego_fut_ts, 2)
+    assert np.all(reg[:, :, k_last:] == 1e6)
+    # kept scores are the per-group top-k of *some* scoring — monotone
+    # within each group when keep_topk_relative_pos is off is not required,
+    # but every kept score must beat every pruned (real) score by def of topk
+    assert np.all(np.isfinite(cls[..., :k_last]))
+
+
+def test_topk_mode_loss_ignores_padded_modes():
+    cfg = tiny(with_topk_mode=True, topk_mode_list=(3, 2))
+    model, variables, batch, images, metas = _make(cfg)
+    out, _ = model.apply(variables, images, metas, None, train=False)
+    data = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = compute_losses(cfg, out, data)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_topk_mode_list_validation():
+    with pytest.raises(ValueError):
+        tiny(with_topk_mode=True, topk_mode_list=(3,))
+    with pytest.raises(ValueError):
+        tiny(with_topk_mode=True, topk_mode_list=None)

@@ -183,3 +183,44 @@ def test_dense_fmap_grad_parity():
         scale = np.abs(np.asarray(b)).max()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5 * scale)
+
+
+def test_row_packed_parity_and_grads():
+    """row_packed (one pre-packed 4C-row gather per sample) must match the
+    reference formulation in both values and gradients."""
+    from functools import partial
+
+    from hipad_tpu.ops.sampling import deformable_aggregation_topk
+
+    rng = np.random.RandomState(13)
+    bs, cams, C, G = 2, 4, 32, 4
+    shapes = [(16, 24), (8, 12), (4, 6)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    A, P = 6, 5
+    pts = jnp.asarray((rng.rand(bs, A, P, cams, 2) * 1.1 - 0.05).astype(np.float32))
+    w = jnp.asarray(rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32))
+
+    ref = deformable_aggregation(feats, pts, w)
+    got = deformable_aggregation_topk(feats, pts, w, cam_k=4,
+                                      matmul_levels=(2,), row_packed=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    key = jnp.asarray(rng.randn(bs, A, C).astype(np.float32))
+
+    w2 = w[..., :2, :]
+
+    def loss(f0, f1, p, wts, packed):
+        out = deformable_aggregation_topk(
+            [f0, f1], p, wts, cam_k=4, matmul_levels=(),
+            dense_fmap_grad=False, row_packed=packed)
+        return (out * key).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(partial(loss, packed=False),
+                         argnums=(0, 1, 2, 3))(feats[0], feats[1], pts, w2)
+        g_pk = jax.grad(partial(loss, packed=True),
+                        argnums=(0, 1, 2, 3))(feats[0], feats[1], pts, w2)
+    for a, b in zip(g_pk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
