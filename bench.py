@@ -56,8 +56,11 @@ def main(**overrides):
     banks, s = stream(variables, images, metas, banks0)  # compile + warm
     float(s)
 
+    # perturb the timed call's input: the axon tunnel can dedupe a dispatch
+    # that exactly repeats the previous one (see verify skill gotchas)
+    images_t = images + jnp.asarray(1e-3, images.dtype)
     t0 = time.perf_counter()
-    banks, s = stream(variables, images, metas, banks0)
+    banks, s = stream(variables, images_t, metas, banks0)
     float(s)
     dt = time.perf_counter() - t0
     fps = N_ITERS * bs / dt

@@ -44,6 +44,10 @@ MAP_CLS_W, MAP_LINE_W, MAP_LINE_BETA = 1.0, 10.0, 0.01
 EGO_STATUS_W = 1.0
 PLAN_CLS_W, PLAN_REG_W = 0.5, 1.0
 MOTION_CLS_W, MOTION_REG_W = 0.2, 0.2
+# Auxiliary plan regularisers (`plan/loss.py:9-339`): present upstream but
+# their weights are unset in both shipped configs (loss_plan_bound/col/dir
+# default None) — 0.0 keeps exact parity; set >0 to enable (losses/plan_aux).
+PLAN_BOUND_W, PLAN_COL_W, PLAN_DIR_W = 0.0, 0.0, 0.0
 
 
 def _det_map_layer_loss(
@@ -337,6 +341,8 @@ def compute_losses(
         losses.update(loss_motion(cfg, outputs["motion"], data, col4gt))
     if "plan" in cfg.task_select:
         losses.update(loss_plan(cfg, outputs["plan"], data))
+        if PLAN_BOUND_W > 0 or PLAN_COL_W > 0 or PLAN_DIR_W > 0:
+            losses.update(loss_plan_aux(cfg, outputs, data))
     if depth_preds is not None:
         gt_depth = (data.get("gt_depth")
                     or [data[f"gt_depth_{i}"] for i in range(len(depth_preds))
@@ -346,6 +352,52 @@ def compute_losses(
 
             losses["depth_loss"] = dense_depth_loss(depth_preds, gt_depth)
     return losses
+
+
+def loss_plan_aux(cfg: HiPADConfig, outputs: Dict, data: Dict):
+    """Optional map-boundary / collision / lane-direction regularisers on
+    the reference anchor-type's GT-selected mode (final layer only). The
+    upstream registers these losses but never sets their weights
+    (`plan/loss.py`, config `loss_plan_col/dir/bound` = None)."""
+    from . import plan_aux
+
+    cmd = data["gt_ego_fut_cmd"]
+    cls = outputs["plan"]["classification"][-1]
+    reg = outputs["plan"]["prediction"][-1]
+    ref_cls, ref_reg = _plan_pred(cfg, cls, reg, cfg.plan_anchor_refer)
+    gt, gm = _plan_gt(cfg, data, cfg.plan_anchor_refer)
+    _, ref_target, cls_w, best_reg, _, _ = plan_tgt.sparse_plan_target(
+        ref_cls, ref_reg, gt, gm, cmd, cfg.ego_fut_cmd, cfg.ego_fut_ts,
+    )
+    offsets = best_reg.reshape(best_reg.shape[0], cfg.ego_fut_ts, 2)
+    ego_traj = jnp.cumsum(offsets, axis=-2)
+    w = cls_w.reshape(-1, 1)
+
+    out: Dict[str, jnp.ndarray] = {}
+    if PLAN_BOUND_W > 0 or PLAN_DIR_W > 0:
+        lane = outputs["map"]["prediction"][-1]
+        lane = lane.reshape(lane.shape[0], lane.shape[1], cfg.map_num_pts, 2)
+        lane_scores = jax.nn.sigmoid(outputs["map"]["classification"][-1])
+        if PLAN_BOUND_W > 0:
+            lb = plan_aux.plan_map_bound_loss(ego_traj, lane, lane_scores)
+            out["plan_loss_bound"] = PLAN_BOUND_W * (lb * w).sum() / (
+                w.sum() * cfg.ego_fut_ts + 1e-6)
+        if PLAN_DIR_W > 0:
+            ld = plan_aux.plan_map_dir_loss(offsets, lane, lane_scores)
+            out["plan_loss_dir"] = PLAN_DIR_W * (ld * w).sum() / (
+                w.sum() * cfg.ego_fut_ts + 1e-6)
+    if PLAN_COL_W > 0 and "motion" in cfg.task_select:
+        det = outputs["det"]["prediction"][-1]
+        det_scores = jax.nn.sigmoid(outputs["det"]["classification"][-1])
+        mot_reg = outputs["motion"]["prediction"][-1]
+        mot_cls = outputs["motion"]["classification"][-1]
+        lc = plan_aux.plan_collision_loss(
+            ego_traj, det[..., :2], det_scores,
+            jnp.cumsum(mot_reg, axis=-2), mot_cls,
+        )
+        out["plan_loss_col"] = PLAN_COL_W * (lc * w[..., None]).sum() / (
+            w.sum() * cfg.ego_fut_ts * 2 + 1e-6)
+    return out
 
 
 def total_loss(losses: Dict[str, jnp.ndarray]) -> jnp.ndarray:

@@ -19,7 +19,7 @@ from hipad_tpu.models.detector import HiPAD
 from hipad_tpu.models.instance_bank import init_bank_states
 from hipad_tpu.train.train_step import META_KEYS
 
-N = 16
+N = 8
 
 
 def timed(fn, *args, iters=N):
@@ -49,26 +49,6 @@ def main():
         {"params": r}, images, metas, train=False))(jax.random.PRNGKey(0))
     banks0 = init_bank_states(cfg, bs, feature_dtype=jnp.bfloat16)
 
-    # -- full forward (with banks, like bench.py) --
-    def full(images):
-        out, _ = model.apply(variables, images, metas, banks0, train=False)
-        return out["plan"]["final_waypoints"]
-
-    # carry dependency through images so scan iterations serialize
-    @jax.jit
-    def run_full(images):
-        def body(c, _):
-            out = full(images + c.astype(images.dtype))
-            v = out.astype(jnp.float32).sum()
-            return v * 1e-9, v
-        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=N)
-        return ys.sum()
-
-    r = run_full(images); r.block_until_ready()
-    t0 = time.perf_counter(); r = run_full(images); r.block_until_ready()
-    t_full = (time.perf_counter() - t0) / N
-    print(f"full forward           {t_full*1e3:8.2f} ms")
-
     # -- backbone only --
     from hipad_tpu.models.backbone import ResNetFPN
     bb = ResNetFPN(stage_blocks=cfg.backbone_stage_blocks,
@@ -90,8 +70,11 @@ def main():
         c, ys = jax.lax.scan(body, jnp.float32(0), None, length=N)
         return ys.sum()
 
+    # perturb the timed call's input: the axon tunnel can dedupe an
+    # entire dispatch that exactly repeats the previous one
     r = run_bb(images); r.block_until_ready()
-    t0 = time.perf_counter(); r = run_bb(images); r.block_until_ready()
+    images_b = images + jnp.bfloat16(1e-3)
+    t0 = time.perf_counter(); r = run_bb(images_b); r.block_until_ready()
     print(f"backbone+FPN           {(time.perf_counter()-t0)/N*1e3:8.2f} ms")
 
     # -- one fused sampler call at stage-2 scale --
@@ -125,9 +108,34 @@ def main():
         return ys.sum()
 
     r = run_samp(pts); r.block_until_ready()
-    t0 = time.perf_counter(); r = run_samp(pts); r.block_until_ready()
+    pts_b = pts + 1e-4
+    t0 = time.perf_counter(); r = run_samp(pts_b); r.block_until_ready()
     t_samp = (time.perf_counter() - t0) / N
     print(f"fused sampler (1 call) {t_samp*1e3:8.2f} ms  (M0={M0}) x6 layers = {t_samp*6e3:.1f} ms")
+    # -- full forward (with banks, like bench.py) --
+    def full(images):
+        out, _ = model.apply(variables, images, metas, banks0, train=False)
+        return out["plan"]["final_waypoints"]
+
+    # carry dependency through images so scan iterations serialize
+    @jax.jit
+    def run_full(images):
+        def body(c, _):
+            out = full(images + c.astype(images.dtype))
+            v = out.astype(jnp.float32).sum()
+            return v * 1e-9, v
+        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=N)
+        return ys.sum()
+
+    try:
+        r = run_full(images); r.block_until_ready()
+        images_c = images + jnp.asarray(1e-3, images.dtype)
+        t0 = time.perf_counter(); r = run_full(images_c); r.block_until_ready()
+        t_full = (time.perf_counter() - t0) / N
+        print(f"full forward           {t_full*1e3:8.2f} ms")
+    except Exception as e:
+        print(f"full forward FAILED: {(str(e).splitlines() or [''])[0][:120]}")
+
 
 
 if __name__ == "__main__":
