@@ -2,10 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Timing is done by scanning N streaming frames *inside one jit* with the
-temporal bank state carried between iterations — per-dispatch timing through
-the axon tunnel dedupes identical calls and can return from block_until_ready
-early, both of which inflate naive fps (see .claude/skills/verify/SKILL.md).
+Timing: N sequential per-frame dispatches of the jitted streaming step with
+the temporal bank state chained between calls — exactly the closed-loop
+serving pattern. The chain makes frames data-dependent and every call's
+inputs distinct, which defeats the axon tunnel's dispatch dedup and its
+early block_until_ready (the two artifacts that inflate naive timings).
+An earlier version timed a lax.scan over frames instead; on this backend a
+scan body pays a ~60x penalty on gather ops (tools/microbench_scan_vs_seq.py:
+1833 ms vs 30 ms per identical iteration), so in-scan fps UNDERSTATES the
+per-dispatch serving rate that the agent actually gets.
 
 Baseline: the reference runs closed-loop CARLA at a 20 Hz tick with one model
 inference per tick on an RTX 4090 (`hipad_b2d_agent.py:250`,
@@ -24,7 +29,7 @@ BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
 N_ITERS = 16
 
 
-def main(**overrides):
+def main(sync=False, **overrides):
     from hipad_tpu.configs.model import stage2
     from hipad_tpu.data import synthetic
     from hipad_tpu.models.detector import HiPAD
@@ -43,27 +48,50 @@ def main(**overrides):
         {"params": r}, images, metas, train=False))(jax.random.PRNGKey(0))
 
     @jax.jit
-    def stream(variables, images, metas, banks):
-        """N streaming frames with bank carry, one dispatch."""
-        def body(banks, _):
-            outputs, banks = model.apply(variables, images, metas, banks,
-                                         train=False)
-            return banks, outputs["plan"]["final_waypoints"][0, 0, 0]
-        banks, tick = jax.lax.scan(body, banks, None, length=N_ITERS)
-        return banks, tick.sum()
+    def step(variables, images, metas, banks):
+        """One streaming frame (the closed-loop agent's per-tick call)."""
+        outputs, banks = model.apply(variables, images, metas, banks,
+                                     train=False)
+        return outputs["plan"]["final_waypoints"], banks
 
     banks0 = init_bank_states(cfg, bs, feature_dtype=jnp.bfloat16)
-    banks, s = stream(variables, images, metas, banks0)  # compile + warm
-    float(s)
+    # distinct per-frame inputs (no two dispatches identical)
+    frames = [images + jnp.asarray(i * 1e-3, images.dtype) for i in range(4)]
+    wp, banks = step(variables, frames[0], metas, banks0)  # compile + warm
+    jax.block_until_ready(wp)
 
-    # perturb the timed call's input: the axon tunnel can dedupe a dispatch
-    # that exactly repeats the previous one (see verify skill gotchas)
-    images_t = images + jnp.asarray(1e-3, images.dtype)
-    t0 = time.perf_counter()
-    banks, s = stream(variables, images_t, metas, banks0)
-    float(s)
-    dt = time.perf_counter() - t0
-    fps = N_ITERS * bs / dt
+    # Tunnel round-trip floor (trivial op, hard-synced): subtracted from the
+    # per-frame time so the metric reflects device time, not the axon
+    # tunnel's ~26 ms dispatch round trip (absent in a real deployment).
+    @jax.jit
+    def _triv(c):
+        return c + 1, (c * 2).astype(jnp.float32)
+    c = jnp.int32(1)
+    c, v = _triv(c); float(v)
+    rtts = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        c, v = _triv(c)
+        float(v)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
+    # Per-frame HARD sync: a host transfer of a computed value from EVERY
+    # dispatch — nothing can pipeline/dedup/return-early (the tunnel's
+    # block_until_ready lies; an un-synced chain once "measured" 490 fps).
+    banks = banks0
+    times = []
+    for i in range(N_ITERS):
+        t0 = time.perf_counter()
+        wp, banks = step(variables, frames[i % 4], metas, banks)
+        float(jnp.sum(wp))
+        times.append(time.perf_counter() - t0)
+    times = sorted(times)
+    if sync:
+        print({"per_frame_ms": [round(t * 1e3, 2) for t in times],
+               "rtt_ms": round(rtt * 1e3, 2)})
+    dt = max(times[len(times) // 2] - rtt, 1e-9)
+    fps = bs / dt
 
     print(json.dumps({
         "metric": "e2e_forward_fps_1chip",
@@ -79,6 +107,8 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--set", action="append", default=[],
                         help="cfg override key=python_literal")
+    parser.add_argument("--sync", action="store_true",
+                        help="per-frame host sync (latency upper bound)")
     args = parser.parse_args()
     import ast as _ast
 
@@ -86,4 +116,4 @@ if __name__ == "__main__":
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = _ast.literal_eval(v)
-    main(**overrides)
+    main(sync=args.sync, **overrides)

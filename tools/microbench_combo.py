@@ -102,8 +102,9 @@ def main():
     dt = bench(combo_gather, combo, sy0, H0 - 2)
     print(f"combo 13C row      : {dt*1e3:8.2f} ms  {dt/M*1e9:6.2f} ns/sample")
 
-    dtb = bench(lambda fs, _i: build_combo(fs[0] + 0.0 * _i, fs[1]),
-                (f0, f1), jnp.zeros((BS, M), jnp.int32), 7)
+    dtb = bench(lambda fs, _i: build_combo(fs[0] + _i.astype(jnp.bfloat16) * 1e-6,
+                                           fs[1]),
+                (f0, f1), jnp.zeros((), jnp.int32), 7)
     print(f"combo build        : {dtb*1e3:8.2f} ms (once per frame)")
 
 

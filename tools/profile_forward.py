@@ -1,10 +1,10 @@
 """Component-level timing of the stage-2 forward on the real TPU.
 
-Times (in-jit scan, data-dependent carry — see verify skill):
-  1. backbone+FPN only
-  2. full forward (temporal variant, like bench.py)
-  3. full forward with the deformable sampler stubbed to zeros
-  4. one fused sampler call at stage-2 scale (per layer cost)
+Timing method: N sequential jitted dispatches with a data dependency chained
+through a carried scalar and distinct inputs per call. NOT lax.scan — a scan
+body pays a ~60x penalty on gather ops on this backend
+(tools/microbench_scan_vs_seq.py), and identical repeated dispatches get
+deduped by the axon tunnel.
 """
 
 import time
@@ -19,27 +19,52 @@ from hipad_tpu.models.detector import HiPAD
 from hipad_tpu.models.instance_bank import init_bank_states
 from hipad_tpu.train.train_step import META_KEYS
 
-N = 8
+N = 16
 
 
-def timed(fn, *args, iters=N):
+def measure_rtt():
+    """Tunnel round-trip floor: trivial op, hard-synced."""
     @jax.jit
-    def run(*a):
-        def body(c, _):
-            out = fn(*a)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return c + leaf.ravel()[0].astype(jnp.float32), leaf.ravel()[0]
-        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return ys.sum()
+    def triv(c):
+        return c + 1, (c * 2).astype(jnp.float32)
+    c = jnp.int32(1)
+    c, v = triv(c); float(v)
+    times = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        c, v = triv(c)
+        float(v)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
 
-    r = run(*args); r.block_until_ready()
-    t0 = time.perf_counter()
-    r = run(*args); r.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+
+RTT = None
 
 
-def main():
-    cfg = stage2()
+def timed_chain(fn, x0):
+    """fn: jitted (x, c:int32) -> (c', scalar).
+
+    Per-call HARD sync (host transfer of a computed value) — the only
+    artifact-proof method through the axon tunnel — then subtract the
+    measured trivial-dispatch round trip. p50 of N calls."""
+    global RTT
+    if RTT is None:
+        RTT = measure_rtt()
+        print(f"tunnel RTT floor       {RTT*1e3:8.2f} ms (subtracted below)")
+    c = jnp.int32(1)
+    c1, v = fn(x0, c)
+    float(v)
+    times = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        c, v = fn(x0, c + i)
+        float(v)
+        times.append(time.perf_counter() - t0)
+    return max(0.0, sorted(times)[len(times) // 2] - RTT)
+
+
+def main(**overrides):
+    cfg = stage2(**overrides)
     model = HiPAD(cfg, dtype=jnp.bfloat16)
     bs = 1
     batch = synthetic.make_batch(cfg, bs)
@@ -58,30 +83,19 @@ def main():
     bbvars = jax.jit(lambda r: bb.init(r, images, train=False))(
         jax.random.PRNGKey(0))
 
-    def bb_fn(images):
-        return bb.apply(bbvars, images, train=False)[0]
-
     @jax.jit
-    def run_bb(images):
-        def body(c, _):
-            out = bb_fn(images + c.astype(images.dtype))
-            v = out.astype(jnp.float32).sum()
-            return v * 1e-9, v
-        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=N)
-        return ys.sum()
+    def bb_step(img, c):
+        out = bb.apply(bbvars, img + c.astype(img.dtype) * 1e-6,
+                       train=False)[0]
+        v = out.astype(jnp.float32).sum()
+        return v.astype(jnp.int32) % 1024, v
 
-    # perturb the timed call's input: the axon tunnel can dedupe an
-    # entire dispatch that exactly repeats the previous one
-    r = run_bb(images); r.block_until_ready()
-    images_b = images + jnp.bfloat16(1e-3)
-    t0 = time.perf_counter(); r = run_bb(images_b); r.block_until_ready()
-    print(f"backbone+FPN           {(time.perf_counter()-t0)/N*1e3:8.2f} ms")
+    print(f"backbone+FPN           {timed_chain(bb_step, images)*1e3:8.2f} ms")
 
-    # -- one fused sampler call at stage-2 scale --
+    # -- one fused sampler call at stage-2 scale (per layer cost) --
     from hipad_tpu.ops.sampling import deformable_samples_topk_flat
     M0 = (cfg.num_det_anchor * 13 + cfg.num_map_anchor * 300
-          + cfg.num_plan_anchor * 6 * 5 * 3 // 90 * 90 + 13)
-    M0 = cfg.num_det_anchor * 13 + cfg.num_map_anchor * 300 + cfg.num_plan_anchor * 90 + 13
+          + cfg.num_plan_anchor * 90 + 13)
     cams, L, G = cfg.num_cams, cfg.num_levels, cfg.num_groups
     shapes = [(bs, cams, 88, 160, 256), (bs, cams, 44, 80, 256),
               (bs, cams, 22, 40, 256), (bs, cams, 11, 20, 256)]
@@ -93,49 +107,37 @@ def main():
     wts = jax.nn.softmax(jax.random.normal(
         jax.random.fold_in(k, 10), (bs, M0, cams, L, G), jnp.bfloat16))
 
-    def samp(pts):
-        return deformable_samples_topk_flat(
-            fmaps, pts, wts, cam_k=cfg.sampler_cam_k,
-            matmul_levels=cfg.sampler_matmul_levels)
-
     @jax.jit
-    def run_samp(pts):
-        def body(c, _):
-            out = samp(pts + c.astype(pts.dtype))
-            v = out.astype(jnp.float32).sum()
-            return v * 1e-9, v
-        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=N)
-        return ys.sum()
+    def samp_step(pts, c):
+        out = deformable_samples_topk_flat(
+            fmaps, pts + c.astype(pts.dtype) * 1e-7, wts,
+            cam_k=cfg.sampler_cam_k,
+            matmul_levels=cfg.sampler_matmul_levels,
+            row_packed=cfg.sampler_row_packed)
+        v = out.astype(jnp.float32).sum()
+        return v.astype(jnp.int32) % 1024, v
 
-    r = run_samp(pts); r.block_until_ready()
-    pts_b = pts + 1e-4
-    t0 = time.perf_counter(); r = run_samp(pts_b); r.block_until_ready()
-    t_samp = (time.perf_counter() - t0) / N
-    print(f"fused sampler (1 call) {t_samp*1e3:8.2f} ms  (M0={M0}) x6 layers = {t_samp*6e3:.1f} ms")
-    # -- full forward (with banks, like bench.py) --
-    def full(images):
-        out, _ = model.apply(variables, images, metas, banks0, train=False)
-        return out["plan"]["final_waypoints"]
+    t = timed_chain(samp_step, pts)
+    print(f"fused sampler (1 call) {t*1e3:8.2f} ms  (M0={M0}) x6 = {t*6e3:.1f} ms")
 
-    # carry dependency through images so scan iterations serialize
+    # -- full forward --
     @jax.jit
-    def run_full(images):
-        def body(c, _):
-            out = full(images + c.astype(images.dtype))
-            v = out.astype(jnp.float32).sum()
-            return v * 1e-9, v
-        c, ys = jax.lax.scan(body, jnp.float32(0), None, length=N)
-        return ys.sum()
+    def full_step(img, banks):
+        out, banks = model.apply(variables, img, metas, banks, train=False)
+        return out["plan"]["final_waypoints"], banks
 
-    try:
-        r = run_full(images); r.block_until_ready()
-        images_c = images + jnp.asarray(1e-3, images.dtype)
-        t0 = time.perf_counter(); r = run_full(images_c); r.block_until_ready()
-        t_full = (time.perf_counter() - t0) / N
-        print(f"full forward           {t_full*1e3:8.2f} ms")
-    except Exception as e:
-        print(f"full forward FAILED: {(str(e).splitlines() or [''])[0][:120]}")
-
+    frames = [images + jnp.asarray(i * 1e-3, images.dtype) for i in range(4)]
+    wp, banks = full_step(frames[0], banks0)
+    float(jnp.sum(wp))
+    banks = banks0
+    times = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        wp, banks = full_step(frames[i % 4], banks)
+        float(jnp.sum(wp))
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2] - (RTT or 0.0)
+    print(f"full forward           {p50*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
