@@ -25,6 +25,8 @@ no atomics involved).
 
 from __future__ import annotations
 
+import functools
+
 from typing import List, Sequence
 
 import jax
@@ -180,6 +182,38 @@ def deformable_aggregation_patch(
     return out
 
 
+def interp_matmul(fm, px, py, w_lvl, groups):
+    """Dense interp sampling: Pallas VMEM kernel on TPU (see
+    ops/pallas_interp.py), XLA einsum elsewhere (CPU tests, fallback).
+    Backward always uses the XLA formulation (its adjoint is a plain
+    transposed matmul chain)."""
+    if jax.default_backend() == "cpu":
+        return _interp_matmul_level(fm, px, py, w_lvl, groups)
+    return _interp_matmul_tpu(fm, px, py, w_lvl, groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _interp_matmul_tpu(fm, px, py, w_lvl, groups):
+    from .pallas_interp import interp_matmul_pallas
+
+    return interp_matmul_pallas(fm, px, py, w_lvl, groups)
+
+
+def _interp_matmul_tpu_fwd(fm, px, py, w_lvl, groups):
+    out = _interp_matmul_tpu(fm, px, py, w_lvl, groups)
+    return out, (fm, px, py, w_lvl)
+
+
+def _interp_matmul_tpu_bwd(groups, res, g):
+    fm, px, py, w_lvl = res
+    _, vjp = jax.vjp(
+        lambda *a: _interp_matmul_level(*a, groups), fm, px, py, w_lvl)
+    return vjp(g.astype(jnp.float32))
+
+
+_interp_matmul_tpu.defvjp(_interp_matmul_tpu_fwd, _interp_matmul_tpu_bwd)
+
+
 def _interp_matmul_level(
     fm: jnp.ndarray,  # [B, H, W, C]
     px: jnp.ndarray,  # [B, M] continuous pixel x
@@ -273,7 +307,7 @@ def deformable_aggregation_mixed(
         fm = feat.reshape(B, h_l, w_l, channels)
         px = x * w_l - 0.5
         py = y * h_l - 0.5
-        contrib = _interp_matmul_level(fm, px, py, w[:, :, lvl], groups)
+        contrib = interp_matmul(fm, px, py, w[:, :, lvl], groups)
         contrib = contrib.reshape(bs, num_cams, num_anchor, num_pts, channels)
         out = out + contrib.sum(axis=(1, 3)).astype(out.dtype)
     return out
@@ -408,6 +442,60 @@ def _packed_row_bilinear_bwd(res, g_out):
 packed_row_bilinear.defvjp(_packed_row_bilinear_fwd, _packed_row_bilinear_bwd)
 
 
+@jax.custom_vjp
+def patch_bilinear_w(feat, cam, sy, sx, wy, wx, wg):
+    """Bilinear sampling with the per-group level weight folded in:
+
+    out[b,m,g,:] = wg[b,m,g] * sum_ij wy[b,m,i] wx[b,m,j]
+                              * feat[b, cam, sy+i, sx+j, g-th block]
+
+    One einsum consumes the patch gather directly (XLA fuses the gather as
+    its producer), so neither the [bs, M, 2, 2, C] patch nor an unweighted
+    [bs, M, C] sample is round-tripped through HBM — the old three-pass
+    epilogue (interp einsum, group multiply, reshape) cost several ms per
+    level at M=255k. Backward folds wg into the cotangent and reuses the
+    dense chunked-matmul feature-map adjoint.
+
+    Returns [bs, M, C] (groups flattened back into channels).
+    """
+    bs, cams, H, W, C = feat.shape
+    M = cam.shape[1]
+    G = wg.shape[-1]
+    patch = _patch_gather(feat, cam, sy, sx).astype(wy.dtype)
+    patch = patch.reshape(bs, M, 2, 2, G, C // G)
+    w4g = wy[:, :, :, None, None] * wx[:, :, None, :, None] * wg[:, :, None, None, :]
+    out = jnp.einsum("bmijgd,bmijg->bmgd", patch, w4g.astype(wy.dtype))
+    return out.reshape(bs, M, C)
+
+
+def _patch_bilinear_w_fwd(feat, cam, sy, sx, wy, wx, wg):
+    out = patch_bilinear_w.__wrapped__(feat, cam, sy, sx, wy, wx, wg)
+    return out, (feat, cam, sy, sx, wy, wx, wg)
+
+
+def _patch_bilinear_w_bwd(res, g_out):
+    feat, cam, sy, sx, wy, wx, wg = res
+    bs, cams, H, W, C = feat.shape
+    M = cam.shape[1]
+    G = wg.shape[-1]
+    gd = C // G
+    patch = _patch_gather(feat, cam, sy, sx).astype(g_out.dtype)
+    patch = patch.reshape(bs, M, 2, 2, G, gd)
+    go = g_out.reshape(bs, M, G, gd)
+    g_wy = jnp.einsum("bmgd,bmijgd,bmj,bmg->bmi", go, patch, wx, wg)
+    g_wx = jnp.einsum("bmgd,bmijgd,bmi,bmg->bmj", go, patch, wy, wg)
+    g_wg = jnp.einsum("bmgd,bmijgd,bmi,bmj->bmg", go, patch, wy, wx)
+    # fold the group weight into the cotangent; then d(feat) has the same
+    # separable 2-hot structure as patch_bilinear's
+    gg = (go * wg[..., None]).reshape(bs, M, C)
+    g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, gg)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return g_feat, f0(cam), f0(sy), f0(sx), g_wy, g_wx, g_wg
+
+
+patch_bilinear_w.defvjp(_patch_bilinear_w_fwd, _patch_bilinear_w_bwd)
+
+
 def _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
     """Feature-map gradient as chunked MXU einsums (see patch_bilinear)."""
     bs, cams, H, W, C = feat.shape
@@ -514,9 +602,8 @@ def deformable_samples_topk_flat(
 
         if lvl in matmul_levels:
             fm = feat.reshape(Bfull, h_l, w_l, channels)
-            contrib = _interp_matmul_level(
-                fm, xf * w_l - 0.5, yf * h_l - 0.5, wf[:, :, lvl], groups
-            )
+            contrib = interp_matmul(
+                fm, xf * w_l - 0.5, yf * h_l - 0.5, wf[:, :, lvl], groups)
             contrib = contrib.reshape(bs, num_cams, M0, channels)
             out = out + contrib.sum(axis=1).astype(out.dtype)
             continue
@@ -543,13 +630,12 @@ def deformable_samples_topk_flat(
             continue
 
         if dense_fmap_grad:
-            sampled = patch_bilinear(
+            sampled = patch_bilinear_w(
                 feat, cam, sy, sx,
                 wy.astype(weights.dtype), wx.astype(weights.dtype),
-            )  # [bs, M, C]
-            contrib = (sampled.reshape(bs, M, groups, group_dims)
-                       * w[:, :, lvl][..., None])
-            contrib = contrib.reshape(bs, M0, cam_k, channels)
+                w[:, :, lvl],
+            )  # [bs, M, C], group weights folded into the gather consumer
+            contrib = sampled.reshape(bs, M0, cam_k, channels)
             out = out + contrib.sum(axis=2).astype(out.dtype)
             continue
 
