@@ -29,7 +29,7 @@ BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
 N_ITERS = 16
 
 
-def main(sync=False, **overrides):
+def main(sync=False, bs=1, **overrides):
     from hipad_tpu.configs.model import stage2
     from hipad_tpu.data import synthetic
     from hipad_tpu.models.detector import HiPAD
@@ -38,7 +38,10 @@ def main(sync=False, **overrides):
 
     cfg = stage2(**overrides)
     model = HiPAD(cfg, dtype=jnp.bfloat16)
-    bs = 1
+    # bs > 1 = several independent closed-loop streams batched per chip —
+    # the 40 fps/GPU baseline is itself a 2-sims-per-GPU aggregate
+    # (`run_evaluation_multi_hipad.sh:23-24`), so bs=2 is the
+    # apples-to-apples serving configuration.
     batch = synthetic.make_batch(cfg, bs)
     images = jnp.asarray(batch["images"])
     metas = {k: jnp.asarray(batch[k]) for k in META_KEYS}
@@ -109,6 +112,8 @@ if __name__ == "__main__":
                         help="cfg override key=python_literal")
     parser.add_argument("--sync", action="store_true",
                         help="per-frame host sync (latency upper bound)")
+    parser.add_argument("--bs", type=int, default=1,
+                        help="independent streams batched per chip")
     args = parser.parse_args()
     import ast as _ast
 
@@ -116,4 +121,4 @@ if __name__ == "__main__":
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = _ast.literal_eval(v)
-    main(sync=args.sync, **overrides)
+    main(sync=args.sync, bs=args.bs, **overrides)

@@ -193,7 +193,14 @@ class HiPADConfig:
     # "reference": row gathers (parity oracle) | "topk": camera-compacted
     # patch gathers + MXU sampling on coarse levels (production TPU path).
     sampler: str = "topk"
-    sampler_cam_k: int = 3
+    # cam_k=2 is geometrically exact for the Bench2Drive rig up to
+    # near-field (<~3 m) corner cases: the five 70-deg FOVs at 55-deg yaw
+    # spacing and the 110-deg rear camera admit no azimuthal triple
+    # overlap, so a 3D point projects inside at most 2 cameras; the
+    # reference multiplies the remaining cameras' samples by zero
+    # (`blocks.py:178-214` softmax weights over all 6). k=3 restores the
+    # reference's extra safety margin at ~1.4x the gather cost.
+    sampler_cam_k: int = 2
     sampler_matmul_levels: Tuple[int, ...] = (2, 3)
     # Gather each sample's whole (2,2,C) bilinear patch as ONE pre-packed
     # 4C row (ops/sampling.py:build_packed_level) instead of a (2,2,C)

@@ -35,12 +35,22 @@ def _kernel(px_ref, py_ref, wg_ref, fm_ref, out_ref, *, H, W, G):
     T = px.shape[0]
     C = fm_ref.shape[-1]
     HW = H * W
-    q = jax.lax.broadcasted_iota(jnp.int32, (T, HW), 1)
-    hq = (q // W).astype(jnp.float32)
-    wq = (q % W).astype(jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, None] - hq))
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, None] - wq))
-    interp = wy * wx  # [T, HW]
+    # hat weights on the small [T, H] / [T, W] grids, then expand to the
+    # flat [T, H*W] operand with one lane-repeat + one lane-tile + one
+    # multiply — ~9x less VPU work than evaluating the hats per (t, q).
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (T, H), 1).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py[:, None] - iota_h))  # [T, H]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px[:, None] - iota_w))  # [T, W]
+    # element-repeat wy W times via a tiny iota-built expansion matmul
+    # (pltpu.repeat block-tiles, it does not element-repeat); block-tile wx
+    # H times with pltpu.repeat.
+    lane_hw = jax.lax.broadcasted_iota(jnp.int32, (H, H * W), 1)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (H, H * W), 0)
+    expand_h = (lane_hw // W == row_h).astype(jnp.float32)  # [H, H*W]
+    wy_e = jnp.dot(wy, expand_h, preferred_element_type=jnp.float32)
+    wx_e = pltpu.repeat(wx, H, axis=1)            # [T, W*H], block-tiled
+    interp = wy_e * wx_e  # [T, HW]
     acc = jnp.dot(interp.astype(jnp.bfloat16), fm_ref[0],
                   preferred_element_type=jnp.float32)  # [T, C]
     # expand the per-group weight to per-channel via a tiny matmul against

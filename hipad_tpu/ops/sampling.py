@@ -187,7 +187,9 @@ def interp_matmul(fm, px, py, w_lvl, groups):
     ops/pallas_interp.py), XLA einsum elsewhere (CPU tests, fallback).
     Backward always uses the XLA formulation (its adjoint is a plain
     transposed matmul chain)."""
-    if jax.default_backend() == "cpu":
+    import os
+
+    if jax.default_backend() == "cpu" or os.environ.get("HIPAD_NO_PALLAS"):
         return _interp_matmul_level(fm, px, py, w_lvl, groups)
     return _interp_matmul_tpu(fm, px, py, w_lvl, groups)
 
