@@ -125,7 +125,13 @@ class DeformableAggregation(nn.Module):
     ) -> jnp.ndarray:
         pts2d, w = self.prepare(instance_feature, anchor, anchor_embed,
                                 projection_mat, image_wh, deterministic)
-        if self.sampler == "topk":
+        if self.sampler == "zero":
+            # debug/ablation mode: full prepare cost, no sampling — isolates
+            # the sampler's share of the frame in end-to-end benchmarks
+            features = jnp.zeros(
+                instance_feature.shape[:2] + (self.embed_dims,),
+                w.dtype) + 0.0 * (w.sum() + pts2d.sum().astype(w.dtype))
+        elif self.sampler == "topk":
             features = deformable_aggregation_topk(
                 feature_maps, pts2d, w,
                 cam_k=self.sampler_cam_k,

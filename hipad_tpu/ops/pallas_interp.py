@@ -102,4 +102,7 @@ def interp_matmul_pallas(fm, px, py, wg, groups: int):
         ),
     )(px.astype(jnp.float32)[..., None], py.astype(jnp.float32)[..., None],
       wg, fm.reshape(B, H * W, C))
-    return out[:, :M].reshape(B, M, G, C // G)
+    # return PADDED [B, Mp, C]: slicing here forces a 260 MB copy of the
+    # kernel output; callers reduce over cameras first and slice the 4x
+    # smaller result (see sampling.py).
+    return out

@@ -182,16 +182,38 @@ def deformable_aggregation_patch(
     return out
 
 
-def interp_matmul(fm, px, py, w_lvl, groups):
-    """Dense interp sampling: Pallas VMEM kernel on TPU (see
-    ops/pallas_interp.py), XLA einsum elsewhere (CPU tests, fallback).
-    Backward always uses the XLA formulation (its adjoint is a plain
-    transposed matmul chain)."""
+def _use_xla_interp():
     import os
 
-    if jax.default_backend() == "cpu" or os.environ.get("HIPAD_NO_PALLAS"):
+    return jax.default_backend() == "cpu" or os.environ.get("HIPAD_NO_PALLAS")
+
+
+def interp_matmul(fm, px, py, w_lvl, groups):
+    """Dense interp sampling -> [B, M, G, C//G]. Pallas VMEM kernel on TPU
+    (ops/pallas_interp.py), XLA einsum elsewhere. Backward always uses the
+    XLA formulation (its adjoint is a plain transposed matmul chain)."""
+    if _use_xla_interp():
         return _interp_matmul_level(fm, px, py, w_lvl, groups)
-    return _interp_matmul_tpu(fm, px, py, w_lvl, groups)
+    out = _interp_matmul_tpu(fm, px, py, w_lvl, groups)  # [B, Mp, C] padded
+    B, M = px.shape
+    C = fm.shape[-1]
+    return out[:, :M].reshape(B, M, groups, C // groups)
+
+
+def interp_matmul_camsum(fm, px, py, w_lvl, groups, bs, cams):
+    """Dense interp sampling summed over the camera dim -> [bs, M, C].
+
+    On TPU the Pallas kernel's PADDED [B, Mp, C] output is reduced over
+    cameras FIRST and the 4x smaller sum sliced — slicing the raw kernel
+    output forces a ~260 MB copy (seen in HLO)."""
+    B, M = px.shape
+    C = fm.shape[-1]
+    if _use_xla_interp():
+        c = _interp_matmul_level(fm, px, py, w_lvl, groups)
+        return c.reshape(bs, cams, M, C).sum(axis=1)
+    cp = _interp_matmul_tpu(fm, px, py, w_lvl, groups)  # [B, Mp, C]
+    c = cp.reshape(bs, cams, cp.shape[1], C).sum(axis=1)
+    return c[:, :M]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -207,10 +229,14 @@ def _interp_matmul_tpu_fwd(fm, px, py, w_lvl, groups):
 
 
 def _interp_matmul_tpu_bwd(groups, res, g):
+    # g is PADDED [B, Mp, C]; the XLA adjoint runs on the unpadded M
     fm, px, py, w_lvl = res
+    B, M = px.shape
+    C = fm.shape[-1]
+    gm = g[:, :M].reshape(B, M, groups, C // groups)
     _, vjp = jax.vjp(
         lambda *a: _interp_matmul_level(*a, groups), fm, px, py, w_lvl)
-    return vjp(g.astype(jnp.float32))
+    return vjp(gm.astype(jnp.float32))
 
 
 _interp_matmul_tpu.defvjp(_interp_matmul_tpu_fwd, _interp_matmul_tpu_bwd)
@@ -464,10 +490,15 @@ def patch_bilinear_w(feat, cam, sy, sx, wy, wx, wg):
     M = cam.shape[1]
     G = wg.shape[-1]
     patch = _patch_gather(feat, cam, sy, sx).astype(wy.dtype)
-    patch = patch.reshape(bs, M, 2, 2, G, C // G)
-    w4g = wy[:, :, :, None, None] * wx[:, :, None, :, None] * wg[:, :, None, None, :]
-    out = jnp.einsum("bmijgd,bmijg->bmgd", patch, w4g.astype(wy.dtype))
-    return out.reshape(bs, M, C)
+    # Keep every tensor at C=256 lanes: splitting channels into (G, C//G)
+    # changes the TPU lane tiling and XLA materialises a 350 MB relaid-out
+    # copy of the patch (seen in HLO). Instead expand the group weight to
+    # channel width (tiny [bs, M, C]) and do broadcast-multiply + reduce —
+    # also NOT an einsum, whose (b, m) batch dims force another transpose.
+    wg_c = jnp.repeat(wg, C // G, axis=-1).astype(wy.dtype)  # [bs, M, C]
+    w4 = (wy[:, :, :, None] * wx[:, :, None, :]).astype(wy.dtype)
+    out = (patch * w4[..., None]).sum(axis=(2, 3))  # [bs, M, C]
+    return out * wg_c
 
 
 def _patch_bilinear_w_fwd(feat, cam, sy, sx, wy, wx, wg):
@@ -483,13 +514,15 @@ def _patch_bilinear_w_bwd(res, g_out):
     gd = C // G
     patch = _patch_gather(feat, cam, sy, sx).astype(g_out.dtype)
     patch = patch.reshape(bs, M, 2, 2, G, gd)
-    go = g_out.reshape(bs, M, G, gd)
-    g_wy = jnp.einsum("bmgd,bmijgd,bmj,bmg->bmi", go, patch, wx, wg)
-    g_wx = jnp.einsum("bmgd,bmijgd,bmi,bmg->bmj", go, patch, wy, wg)
-    g_wg = jnp.einsum("bmgd,bmijgd,bmi,bmj->bmg", go, patch, wy, wx)
+    go = g_out.reshape(bs, M, 1, 1, G, gd)
+    pg = (patch * go).sum(axis=-1)  # [bs, M, 2, 2, G]
+    g_wy = (pg * wx[:, :, None, :, None] * wg[:, :, None, None, :]).sum(axis=(3, 4))
+    g_wx = (pg * wy[:, :, :, None, None] * wg[:, :, None, None, :]).sum(axis=(2, 4))
+    g_wg = (pg * wy[:, :, :, None, None] * wx[:, :, None, :, None]).sum(axis=(2, 3))
     # fold the group weight into the cotangent; then d(feat) has the same
     # separable 2-hot structure as patch_bilinear's
-    gg = (go * wg[..., None]).reshape(bs, M, C)
+    go4 = g_out.reshape(bs, M, G, gd)
+    gg = (go4 * wg[..., None]).reshape(bs, M, C)
     g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, gg)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return g_feat, f0(cam), f0(sy), f0(sx), g_wy, g_wx, g_wg
@@ -604,10 +637,10 @@ def deformable_samples_topk_flat(
 
         if lvl in matmul_levels:
             fm = feat.reshape(Bfull, h_l, w_l, channels)
-            contrib = interp_matmul(
-                fm, xf * w_l - 0.5, yf * h_l - 0.5, wf[:, :, lvl], groups)
-            contrib = contrib.reshape(bs, num_cams, M0, channels)
-            out = out + contrib.sum(axis=1).astype(out.dtype)
+            contrib = interp_matmul_camsum(
+                fm, xf * w_l - 0.5, yf * h_l - 0.5, wf[:, :, lvl], groups,
+                bs, num_cams)  # [bs, M0, C]
+            out = out + contrib.astype(out.dtype)
             continue
 
         px = x * w_l - 0.5
@@ -649,15 +682,10 @@ def deformable_samples_topk_flat(
             )
 
         patch = jax.vmap(g)(feat, cam, sy, sx)  # [bs, M, 2, 2, C]
-        patch = patch.reshape(bs, M, 2, 2, groups, group_dims)
-        contrib = jnp.einsum(
-            "bmyxgd,bmy,bmx,bmg->bmgd",
-            patch.astype(weights.dtype),
-            wy.astype(weights.dtype),
-            wx.astype(weights.dtype),
-            w[:, :, lvl],
-        )
-        contrib = contrib.reshape(bs, M0, cam_k, channels)
+        wg_c = jnp.repeat(w[:, :, lvl], group_dims, axis=-1)  # [bs, M, C]
+        w4 = (wy[:, :, :, None] * wx[:, :, None, :]).astype(weights.dtype)
+        contrib = (patch.astype(weights.dtype) * w4[..., None]).sum(axis=(2, 3))
+        contrib = (contrib * wg_c).reshape(bs, M0, cam_k, channels)
         out = out + contrib.sum(axis=2).astype(out.dtype)
     return out
 

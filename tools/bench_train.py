@@ -1,0 +1,66 @@
+"""Honest training-step timing on one TPU chip (stage-2 scale, bs=1).
+
+Chained hard-synced dispatches (state chained between steps, a loss value
+materialised each step) with the trivial-dispatch RTT subtracted — see the
+verify skill's timing gotchas.
+
+Reference baseline: stage-2 trains 18 epochs x 234,769 frames / 48 global
+batch = 88,038 steps in ~46 h on 8x RTX 4090 => ~1.88 s/step at global
+batch 48, i.e. ~235 ms per sample-step per GPU.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hipad_tpu.configs.model import stage2
+from hipad_tpu.data import synthetic
+from hipad_tpu.models.instance_bank import init_bank_states
+from hipad_tpu.train.train_step import create_train_state, make_train_step
+
+N = 8
+
+
+def main():
+    cfg = stage2()
+    tx = optax.adamw(2e-4)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx,
+                                      batch_size=1)
+    batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(cfg, 1).items()}
+    banks = init_bank_states(cfg, 1, feature_dtype=jnp.bfloat16)
+    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0, 1))
+
+    @jax.jit
+    def triv(c):
+        return c + 1, (c * 2).astype(jnp.float32)
+    c = jnp.int32(1)
+    c, v = triv(c); float(v)
+    rtts = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        c, v = triv(c)
+        float(v)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    print(f"RTT {rtt*1e3:.1f} ms")
+
+    rng = jax.random.PRNGKey(2)
+    state, banks, metrics = step(state, banks, batch, rng)
+    float(metrics["total_loss"])
+    times = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        state, banks, metrics = step(state, banks, batch,
+                                     jax.random.fold_in(rng, i))
+        float(metrics["total_loss"])
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2] - rtt
+    print(f"train step (bs=1): {p50*1e3:.1f} ms "
+          f"(4090 baseline ~235 ms/sample-step; "
+          f"ratio {235.0/(p50*1e3):.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
