@@ -191,7 +191,8 @@ class HiPADConfig:
 
     # --- deformable sampler backend (see ops/sampling.py) -------------------
     # "reference": row gathers (parity oracle) | "topk": camera-compacted
-    # patch gathers + MXU sampling on coarse levels (production TPU path).
+    # patch gathers + Pallas MXU sampling on coarse levels (production TPU
+    # path) | "zero": full prepare but no sampling (perf-ablation only).
     sampler: str = "topk"
     # cam_k=2 is geometrically exact for the Bench2Drive rig up to
     # near-field (<~3 m) corner cases: the five 70-deg FOVs at 55-deg yaw
