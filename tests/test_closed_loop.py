@@ -63,3 +63,21 @@ def test_agent_bank_roundrobin_reuses_state(tiny_agent):
     after = tiny_agent.banks
     # every slot replaced exactly once over n steps
     assert all(a is not b for a, b in zip(after, before))
+
+
+def test_split_routes_contiguous(tmp_path):
+    """`tools/split_routes.py` (counterpart of bench2drive split_xml)."""
+    import sys
+    import xml.etree.ElementTree as ET
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    from split_routes import split_contiguous
+
+    root = ET.Element("routes")
+    for i in range(11):
+        ET.SubElement(root, "route", id=str(i))
+    routes = root.findall("route")
+    chunks = split_contiguous(routes, 4)
+    assert [len(c) for c in chunks] == [3, 3, 3, 2]
+    flat = [r.get("id") for c in chunks for r in c]
+    assert flat == [str(i) for i in range(11)]  # order preserved
