@@ -19,6 +19,7 @@ import numpy as np
 
 from .calib import CAMERAS
 from .core import AgentCore
+from .planner import RoutePlanner, solve_latlon_ref
 
 
 def get_entry_point():
@@ -92,19 +93,29 @@ class HiPADTpuAgent(autonomous_agent.AutonomousAgent):
         return _sensor_specs()
 
     def gps_to_location(self, gps):
-        EARTH_RADIUS = 6371000.0
-        lat, lon = gps
-        scale = np.cos(self.lat_ref * np.pi / 180.0)
-        x = scale * lon * np.pi * EARTH_RADIUS / 180.0
-        y = scale * EARTH_RADIUS * np.log(np.tan((90.0 + lat) * np.pi / 360.0))
-        return np.array([x, y])
+        """GNSS [lat, lon] -> CARLA world [x, y] (`hipad_b2d_agent.py:444`)."""
+        from .planner import gps_to_location
+
+        return gps_to_location(gps, self.lat_ref, self.lon_ref)
+
+    def _init_planner(self):
+        # Town GNSS origin from the first route point's gps<->world pair
+        # (`hipad_b2d_agent.py:330-360`); falls back to the (42, 2) default
+        # when only the gps-frame plan is available.
+        try:
+            wp0 = self._global_plan_world_coord[0][0]
+            p0 = self._global_plan[0][0]
+            self.lat_ref, self.lon_ref = solve_latlon_ref(
+                p0["lon"], p0["lat"], wp0.location.x, wp0.location.y)
+        except Exception:
+            pass
+        self._route_planner = RoutePlanner(
+            4.0, 50.0, lat_ref=self.lat_ref, lon_ref=self.lon_ref)
+        self._route_planner.set_route(self._global_plan, True)
 
     def run_step(self, input_data, timestamp):
         if self._route_planner is None:
-            from team_code.planner import RoutePlanner
-
-            self._route_planner = RoutePlanner(4.0, 50.0)
-            self._route_planner.set_route(self._global_plan, True)
+            self._init_planner()
 
         gps = input_data["GPS"][1][:2]
         pos = self.gps_to_location(gps)
