@@ -29,14 +29,14 @@ BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
 N_ITERS = 16
 
 
-def main(sync=False, bs=1, **overrides):
-    from hipad_tpu.configs.model import stage2
+def main(sync=False, bs=1, config="stage2", **overrides):
+    from hipad_tpu.configs import model as config_lib
     from hipad_tpu.data import synthetic
     from hipad_tpu.models.detector import HiPAD
     from hipad_tpu.models.instance_bank import init_bank_states
     from hipad_tpu.train.train_step import META_KEYS
 
-    cfg = stage2(**overrides)
+    cfg = getattr(config_lib, config)(**overrides)
     model = HiPAD(cfg, dtype=jnp.bfloat16)
     # bs > 1 = several independent closed-loop streams batched per chip —
     # the 40 fps/GPU baseline is itself a 2-sims-per-GPU aggregate
@@ -93,7 +93,8 @@ def main(sync=False, bs=1, **overrides):
     if sync:
         print({"per_frame_ms": [round(t * 1e3, 2) for t in times],
                "rtt_ms": round(rtt * 1e3, 2)})
-    dt = max(times[len(times) // 2] - rtt, 1e-9)
+    med = times[len(times) // 2]
+    dt = max(med - rtt, 1e-9)
     fps = bs / dt
 
     print(json.dumps({
@@ -101,6 +102,11 @@ def main(sync=False, bs=1, **overrides):
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # raw measured throughput including the ~26 ms axon tunnel dispatch
+        # RTT (absent in a real deployment) — recorded so both the
+        # device-time estimate (value) and the measured wall rate coexist.
+        "fps_unadjusted": round(bs / med, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
     }))
 
 
@@ -114,6 +120,9 @@ if __name__ == "__main__":
                         help="per-frame host sync (latency upper bound)")
     parser.add_argument("--bs", type=int, default=1,
                         help="independent streams batched per chip")
+    parser.add_argument("--config", default="stage2",
+                        help="config factory in hipad_tpu.configs.model "
+                             "(stage2 | stage2_r101_2x | stage1)")
     args = parser.parse_args()
     import ast as _ast
 
@@ -121,4 +130,4 @@ if __name__ == "__main__":
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = _ast.literal_eval(v)
-    main(sync=args.sync, bs=args.bs, **overrides)
+    main(sync=args.sync, bs=args.bs, config=args.config, **overrides)

@@ -194,14 +194,28 @@ class HiPADConfig:
     # patch gathers + Pallas MXU sampling on coarse levels (production TPU
     # path) | "zero": full prepare but no sampling (perf-ablation only).
     sampler: str = "topk"
-    # cam_k=2 is geometrically exact for the Bench2Drive rig up to
-    # near-field (<~3 m) corner cases: the five 70-deg FOVs at 55-deg yaw
-    # spacing and the 110-deg rear camera admit no azimuthal triple
-    # overlap, so a 3D point projects inside at most 2 cameras; the
-    # reference multiplies the remaining cameras' samples by zero
-    # (`blocks.py:178-214` softmax weights over all 6). k=3 restores the
-    # reference's extra safety margin at ~1.4x the gather cost.
+    # cam_k=3 is exact for the Bench2Drive rig including near-field corner
+    # cases: the five 70-deg FOVs at 55-deg yaw spacing and the 110-deg
+    # rear camera admit no azimuthal triple overlap beyond ~3 m, and the
+    # <=1 m camera-origin parallax can add at most one extra in-bounds
+    # camera closer in — the reference multiplies the remaining cameras'
+    # samples by zero anyway (`blocks.py:178-214` softmax over all 6).
+    # k=2 alone would drop the third camera's softmax share for near-field
+    # (<~3 m) triple-overlap points; with sampler_cam_renorm=True the kept
+    # cameras' (level, group) weight sums are renormalised to the full
+    # in-bounds mass — an exact no-op wherever <= k cameras see the point
+    # (everywhere but near-field), and an unbiased multi-view average for
+    # the triple-overlap residue (error bounds measured in
+    # tests/test_sampling.py::test_cam_k_triple_overlap_bound and
+    # ::test_cam_renorm_exact_when_k_covers). cam_k=3 restores the exact
+    # reference semantics at ~1.5x the gather cost.
     sampler_cam_k: int = 2
+    sampler_cam_renorm: bool = True
+    # Keypoint top-k by softmax weight mass (serving knob; 1.0 = exact).
+    # Each query keeps ceil(frac * num_pts) of its keypoints per layer,
+    # with the truncated per-group mass renormalised onto the kept points
+    # (ops/sampling.py:deformable_aggregation_topk point_k).
+    sampler_point_frac: float = 1.0
     sampler_matmul_levels: Tuple[int, ...] = (2, 3)
     # Gather each sample's whole (2,2,C) bilinear patch as ONE pre-packed
     # 4C row (ops/sampling.py:build_packed_level) instead of a (2,2,C)
@@ -250,6 +264,28 @@ class HiPADConfig:
                 )
             if any(k < 1 for k in self.topk_mode_list):
                 raise ValueError("topk_mode_list entries must be >= 1")
+            last_live = (len(self.plan_anchor_types) * self.ego_fut_cmd
+                         * self.topk_mode_list[n_refine - 1])
+            need = (len(self.plan_anchor_types) * self.ego_fut_cmd
+                    * self.num_temp_plan_mode)
+            if last_live < need:
+                raise ValueError(
+                    "with_topk_mode: the last layer keeps "
+                    f"{self.topk_mode_list[n_refine - 1]} modes/group "
+                    f"({last_live} live plan queries) but the plan bank "
+                    f"caches num_temp_plan_mode={self.num_temp_plan_mode} "
+                    f"per group ({need}) — padded zero-confidence slots "
+                    "would become temporal instances"
+                )
+        if (self.with_concat_map_points or self.with_concat_plan_points) and (
+                self.with_distance_attn_mask or self.with_velocity_attn_mask):
+            raise ValueError(
+                "point-expanded concat (with_concat_{map,plan}_points) is "
+                "incompatible with distance/velocity attention masks: the "
+                "bias matrices are sized from anchor counts while inter_gnn "
+                "sections are point-expanded, mismatching the logits at "
+                "trace time"
+            )
 
     # ---- derived -------------------------------------------------------------
     @property
@@ -363,6 +399,12 @@ def load_anchors(kmeans_dir: str = REFERENCE_KMEANS_DIR, cfg_kwargs: dict | None
 
 
 def stage2(kmeans_dir: str = REFERENCE_KMEANS_DIR, **overrides) -> HiPADConfig:
+    # convenience: num_temporal_layers=N builds the op program with N
+    # temporal layers after the single-frame layer (perf slope probes)
+    n_temp = overrides.pop("num_temporal_layers", None)
+    if n_temp is not None:
+        overrides["operation_order"] = (
+            SINGLE_FRAME_LAYER + TEMPORAL_FRAME_LAYER * n_temp)
     det, mapa, motion, plan = load_anchors(kmeans_dir, overrides)
     return HiPADConfig(
         det_anchor=det, map_anchor=mapa, motion_anchor=motion, plan_anchor=plan,
@@ -377,6 +419,17 @@ def stage1(kmeans_dir: str = REFERENCE_KMEANS_DIR, **overrides) -> HiPADConfig:
     overrides.setdefault("plan_anchor_types", (("temp", "2hz"),))
     overrides.setdefault("plan_anchor_refer", ("temp", "2hz"))
     overrides.setdefault("plan_speed_refer", ("temp", "2hz"))
+    return stage2(kmeans_dir, **overrides)
+
+
+def stage2_r101_2x(kmeans_dir: str = REFERENCE_KMEANS_DIR,
+                   **overrides) -> HiPADConfig:
+    """Scaled-backbone stress config (BASELINE.json configs[4]): ResNet101
+    (stage blocks 3-4-23-3) at 2x input resolution. Quadruples every
+    feature-map level's HW, stressing the deformable sampler's gather and
+    interp-matmul paths; decoder query structure is unchanged."""
+    overrides.setdefault("backbone_stage_blocks", (3, 4, 23, 3))
+    overrides.setdefault("input_size", (704, 1280))
     return stage2(kmeans_dir, **overrides)
 
 

@@ -218,4 +218,30 @@ def evaluate_detection(
         out[name_map[m]] = v
     for c, v in mean_aps.items():
         out[f"AP_{c}"] = float(v)
+    for c in present:
+        for m, v in label_tps[c].items():
+            out[f"{c}_{m}"] = float(v)
     return out
+
+
+def format_detection_table(results: Dict[str, float],
+                           cfg: Dict = EVAL_CONFIG) -> str:
+    """Reference-style report (`bench2drive_dataset.py:1457-1481`):
+    headline metrics then a per-class AP/ATE/ASE/AOE/AVE table."""
+    lines = ["mAP: %.4f" % results["mAP"]]
+    for name in ("mATE", "mASE", "mAOE", "mAVE"):
+        if name in results:
+            lines.append("%s: %.4f" % (name, results[name]))
+    lines += ["NDS: %.4f" % results["NDS"], "", "Per-class results:",
+              "Object Class\tAP\tATE\tASE\tAOE\tAVE"]
+    for c in cfg["class_names"]:
+        if f"AP_{c}" not in results:
+            continue
+        lines.append("%s\t%.3f\t%.3f\t%.3f\t%.3f\t%.3f" % (
+            c, results[f"AP_{c}"],
+            results.get(f"{c}_trans_err", float("nan")),
+            results.get(f"{c}_scale_err", float("nan")),
+            results.get(f"{c}_orient_err", float("nan")),
+            results.get(f"{c}_vel_err", float("nan")),
+        ))
+    return "\n".join(lines)

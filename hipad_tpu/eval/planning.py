@@ -18,12 +18,16 @@ EGO_WIDTH, EGO_LENGTH = 1.85, 4.084  # `metric_stp3.py:13`
 X_BOUND = (-50.0, 50.0, 0.5)
 Y_BOUND = (-50.0, 50.0, 0.5)
 
-# `category_index` (`metric_stp3.py:34-37`) refers to nuScenes-ish label ids
-# stored in gt_attr_labels[..., 27] (the lcf class id). For Bench2Drive the
-# det-class ids are remapped below: vehicles {car,van,truck,bicycle}=ids
-# {0,1,2,3}; human {pedestrian}=id 7 (DET_CLASS_NAMES order).
-VEHICLE_IDS = (0, 1, 2, 3, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23)
-HUMAN_IDS = (2, 3, 4, 5, 6, 7, 8)
+# Obstacle-category sets over the id stored in gt_attr_labels[..., 27],
+# which is the *B2D det-class index* (0-8 in DET_CLASS_NAMES order, -1 for
+# unknown — `bench2drive_dataset.py:663-665`). The reference's
+# `category_index` (`metric_stp3.py:34-37`) still carries nuScenes ids
+# (human 2-8, vehicle 14-23) against that field — its vehicle filter can
+# never match and its "human" set sweeps in trucks/cones/lights. Here the
+# sets name the actual B2D classes: vehicles {car, van, truck, bicycle},
+# human {pedestrian}.
+VEHICLE_IDS = (0, 1, 2, 3)
+HUMAN_IDS = (7,)
 
 
 def _fill_convex(grid: np.ndarray, corners_rc: np.ndarray):

@@ -372,8 +372,10 @@ class SparseOneDecoder(nn.Module):
                     embed_dims=C, num_groups=cfg.num_groups,
                     num_levels=cfg.num_levels, num_cams=cfg.num_cams,
                     sampler=cfg.sampler, sampler_cam_k=cfg.sampler_cam_k,
+                    sampler_cam_renorm=cfg.sampler_cam_renorm,
                     sampler_matmul_levels=cfg.sampler_matmul_levels,
                     sampler_row_packed=cfg.sampler_row_packed,
+                    sampler_point_frac=cfg.sampler_point_frac,
                     dtype=self.dtype,
                 )
                 kps_by_task = {
@@ -434,6 +436,7 @@ class SparseOneDecoder(nn.Module):
                         cam_k=cfg.sampler_cam_k,
                         matmul_levels=cfg.sampler_matmul_levels,
                         row_packed=cfg.sampler_row_packed,
+                        cam_renorm=cfg.sampler_cam_renorm,
                     )  # [bs, SUM(n*p), C]
                     for q in qs:
                         s, e, nq, pq = spans[q]
@@ -584,7 +587,11 @@ class SparseOneDecoder(nn.Module):
                     (bs, ng * pf) + x.shape[2:])
 
             feat["plan"] = _pad_full(feat["plan"], 0.0)
-            anchor["plan"] = _pad_full(anchor["plan"], 0.0)
+            # +1e6 sentinel (same as the per-layer output stacks): a padded
+            # slot must read as an absurd far-away trajectory, not a
+            # plausible stationary one, in case a consumer selects by
+            # anything other than the -1e9 classification.
+            anchor["plan"] = _pad_full(anchor["plan"], 1e6)
             plan_cls = _pad_full(plan_cls.reshape(bs, -1, 1), -1e9)
 
         # ============== cache banks for the next frame ===================

@@ -35,8 +35,12 @@ class DeformableAggregation(nn.Module):
     residual_mode: str = "cat"
     sampler: str = "topk"
     sampler_cam_k: int = 3
+    sampler_cam_renorm: bool = False
     sampler_matmul_levels: tuple = (2, 3)
     sampler_row_packed: bool = False
+    # keep ceil(frac * num_pts) keypoints per query by weight mass
+    # (1.0 = exact reference semantics; see ops/sampling.py point_k)
+    sampler_point_frac: float = 1.0
     # When > 0, `anchor_embed` is a per-sample-point embedding
     # [bs, n * use_points_embed, C] and the weights head consumes the
     # points-expanded feature (`blocks.py:178-189`, use_points_embed path).
@@ -132,11 +136,17 @@ class DeformableAggregation(nn.Module):
                 instance_feature.shape[:2] + (self.embed_dims,),
                 w.dtype) + 0.0 * (w.sum() + pts2d.sum().astype(w.dtype))
         elif self.sampler == "topk":
+            point_k = None
+            if self.sampler_point_frac < 1.0:
+                point_k = max(1, int(-(-self.kps.num_pts
+                                       * self.sampler_point_frac // 1)))
             features = deformable_aggregation_topk(
                 feature_maps, pts2d, w,
                 cam_k=self.sampler_cam_k,
                 matmul_levels=self.sampler_matmul_levels,
                 row_packed=self.sampler_row_packed,
+                cam_renorm=self.sampler_cam_renorm,
+                point_k=point_k,
             )
         else:
             features = deformable_aggregation(feature_maps, pts2d, w)

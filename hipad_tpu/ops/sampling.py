@@ -575,6 +575,7 @@ def deformable_samples_topk_flat(
     matmul_levels: Sequence[int] = (2, 3),
     dense_fmap_grad: bool = True,
     row_packed: bool = False,
+    cam_renorm: bool = False,
 ) -> jnp.ndarray:
     """Flat per-sample core of the production sampler: -> [bs, M, C] weighted
     features summed over cameras/levels (the caller reduces over its own
@@ -592,9 +593,17 @@ def deformable_samples_topk_flat(
     cam_k = min(cam_k, num_cams)
 
     inside = jnp.all((points_2d > 0.0) & (points_2d < 1.0), axis=-1)  # [b,M0,c]
-    # rank cameras by in-bounds-ness (ties -> lowest camera index)
-    score = inside.astype(jnp.float32) - jnp.arange(num_cams) * 1e-6
-    _, cam_idx = jax.lax.top_k(score, cam_k)  # [b, M0, k]
+    # rank cameras by in-bounds-ness (ties -> lowest camera index) with
+    # k iterative argmaxes — lax.top_k lowers to a variadic sort that
+    # costs ~8 ms per call at stage-2 scale (measured,
+    # tools/microbench_sampler_stages.py); argmax+mask is pure VPU.
+    score = inside.astype(jnp.float32)
+    picks = []
+    for _ in range(cam_k):
+        idx = jnp.argmax(score, axis=-1)  # first max -> lowest cam index
+        picks.append(idx)
+        score = score - 2.0 * jax.nn.one_hot(idx, num_cams, dtype=score.dtype)
+    cam_idx = jnp.stack(picks, axis=-1)  # [b, M0, k]
 
     # Camera selection via one-hot einsums, NOT take_along_axis: the VJP of a
     # gather is a scatter, and XLA:TPU scatters cost ~10 us per row — one
@@ -609,7 +618,20 @@ def deformable_samples_topk_flat(
     x = pts[..., 0].reshape(bs, M)
     y = pts[..., 1].reshape(bs, M)
     cam = cam_idx.reshape(bs, M).astype(jnp.int32)
-    w = (wts * ins[..., None, None]).reshape(bs, M, num_levels, groups)
+    w = wts * ins[..., None, None]  # [b, M0, k, L, G]
+    if cam_renorm and cam_k < num_cams:
+        # Renormalise the kept cameras' weights so their (level, group) mass
+        # equals the full in-bounds mass: exact no-op whenever <= cam_k
+        # cameras see the point (the rig's everywhere-but-near-field case);
+        # for triple-overlap near-field points this replaces the dropped
+        # camera's softmax share instead of silently losing it (the
+        # reference sums all in-bounds cameras, `blocks.py:178-214`).
+        full = jnp.einsum("bmclg,bmc->bmlg", weights,
+                          inside.reshape(bs, M0, num_cams).astype(weights.dtype))
+        kept = w.sum(axis=2)  # [b, M0, L, G]
+        ratio = full / jnp.maximum(kept, 1e-9)
+        w = w * ratio[:, :, None]
+    w = w.reshape(bs, M, num_levels, groups)
 
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3),
@@ -698,6 +720,9 @@ def deformable_aggregation_topk(
     matmul_levels: Sequence[int] = (2, 3),
     dense_fmap_grad: bool = True,
     row_packed: bool = False,
+    cam_renorm: bool = False,
+    point_k: int | None = None,
+    point_renorm: bool = True,
 ) -> jnp.ndarray:
     """Camera-compacted hybrid sampler — the production TPU path.
 
@@ -720,6 +745,31 @@ def deformable_aggregation_topk(
     Returns [bs, anchors, C], same as :func:`deformable_aggregation`.
     """
     bs, num_anchor, num_pts, num_cams, _ = points_2d.shape
+    if point_k is not None and point_k < num_pts:
+        # Keypoint top-k (serving-path approximation, config-gated): most of
+        # a query's keypoints carry near-zero softmax weight once trained
+        # (the softmax normalises over cams x levels x pts per group,
+        # `blocks.py:196-208`), so rank each anchor's points by their total
+        # in-bounds weight mass and keep the best `point_k` — the sample
+        # count (and the gather/interp cost) drops by num_pts/point_k.
+        # `point_renorm` rescales the kept points' per-group mass to the
+        # full in-bounds mass, unbiasing the truncation the same way
+        # `cam_renorm` does for cameras.
+        inside = jnp.all((points_2d > 0.0) & (points_2d < 1.0), axis=-1)
+        wm = weights * inside[..., None, None].astype(weights.dtype)
+        imp = wm.sum(axis=(-3, -2, -1))  # [bs, A, P]
+        _, pidx = jax.lax.top_k(imp, point_k)  # [bs, A, kp]
+        sel = jax.nn.one_hot(pidx, num_pts, dtype=weights.dtype)
+        points_2d = jnp.einsum(
+            "bakp,bapcd->bakcd", sel.astype(points_2d.dtype), points_2d)
+        new_w = jnp.einsum("bakp,bapclg->bakclg", sel, weights)
+        if point_renorm:
+            full = wm.sum(axis=2)  # [bs, A, cams, L, G]: mass over all pts
+            kept = jnp.einsum("bakp,bapclg->baclg", sel, wm)
+            ratio = full / jnp.maximum(kept, 1e-9)
+            new_w = new_w * ratio[:, :, None]
+        weights = new_w
+        num_pts = point_k
     flat = deformable_samples_topk_flat(
         feature_maps,
         points_2d.reshape(bs, num_anchor * num_pts, num_cams, 2),
@@ -727,6 +777,7 @@ def deformable_aggregation_topk(
                         weights.shape[-2], weights.shape[-1]),
         cam_k=cam_k, matmul_levels=matmul_levels,
         dense_fmap_grad=dense_fmap_grad, row_packed=row_packed,
+        cam_renorm=cam_renorm,
     )
     return flat.reshape(bs, num_anchor, num_pts, -1).sum(axis=2)
 

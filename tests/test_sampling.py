@@ -224,3 +224,135 @@ def test_row_packed_parity_and_grads():
     for a, b in zip(g_pk, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_cam_k_triple_overlap_bound():
+    """Near-field points inside THREE cameras: cam_k=3 is exact; cam_k=2's
+    error equals the dropped camera's softmax-weighted contribution (the
+    ADVICE-flagged close-range divergence — measured, not assumed)."""
+    from hipad_tpu.ops.sampling import deformable_aggregation_topk
+
+    rng = np.random.RandomState(11)
+    bs, cams, C, G = 1, 6, 32, 4
+    shapes = [(16, 24), (8, 12)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    A, P = 5, 4
+    pts = np.full((bs, A, P, cams, 2), 2.0, np.float32)  # out of bounds
+    tri_cams = np.zeros((A, P, 3), np.int64)
+    for a in range(A):
+        for p in range(P):
+            chosen = rng.choice(cams, 3, replace=False)
+            tri_cams[a, p] = chosen
+            for c in chosen:
+                pts[0, a, p, c] = rng.rand(2) * 0.9 + 0.05
+    ptsj = jnp.asarray(pts)
+    w = rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32)
+    wj = jnp.asarray(w)
+
+    ref = np.asarray(deformable_aggregation(feats, ptsj, wj))
+    k3 = np.asarray(deformable_aggregation_topk(
+        feats, ptsj, wj, cam_k=3, matmul_levels=()))
+    np.testing.assert_allclose(k3, ref, atol=2e-4)
+
+    # k=2 drops exactly one in-bounds camera per point; bound its error by
+    # the total dropped weight times the max feature magnitude.
+    k2 = np.asarray(deformable_aggregation_topk(
+        feats, ptsj, wj, cam_k=2, matmul_levels=()))
+    err = np.abs(k2 - ref).max()
+    assert err > 1e-6, "synthetic triple overlap must make k=2 diverge"
+    # in-bounds-ness ties are broken toward the lowest camera index, so the
+    # dropped camera is the largest index of each point's chosen three
+    dropped_w = 0.0
+    for a in range(A):
+        for p in range(P):
+            dropped_w = max(
+                dropped_w, w[0, a, p, tri_cams[a, p].max()].sum())
+    fmax = max(np.abs(np.asarray(f)).max() for f in feats)
+    assert err <= dropped_w * fmax + 1e-4
+
+
+def test_cam_renorm_exact_when_k_covers():
+    """cam_renorm is an exact no-op when <= cam_k cameras see each point,
+    and shrinks the triple-overlap error vs dropping the third camera."""
+    from hipad_tpu.ops.sampling import deformable_aggregation_topk
+
+    rng = np.random.RandomState(13)
+    bs, cams, C, G = 1, 6, 32, 4
+    shapes = [(16, 24), (8, 12)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    A, P = 5, 4
+
+    # (a) each point in at most 2 cams: renorm must change nothing
+    pts = np.full((bs, A, P, cams, 2), 2.0, np.float32)
+    for a in range(A):
+        for p in range(P):
+            for c in rng.choice(cams, 2, replace=False):
+                pts[0, a, p, c] = rng.rand(2) * 0.9 + 0.05
+    ptsj = jnp.asarray(pts)
+    w = jnp.asarray(rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32))
+    base = deformable_aggregation_topk(feats, ptsj, w, cam_k=2,
+                                       matmul_levels=())
+    ren = deformable_aggregation_topk(feats, ptsj, w, cam_k=2,
+                                      matmul_levels=(), cam_renorm=True)
+    np.testing.assert_allclose(np.asarray(ren), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+    # (b) triple overlap with *consistent* multi-view content (the real
+    # regime: the overlapping cameras observe the same 3D point, so their
+    # sampled features agree): renormalisation recovers the dropped
+    # camera's mass exactly, while raw k=2 loses it.
+    feats_same = [jnp.asarray(np.broadcast_to(
+        np.asarray(f)[:, :1], f.shape).copy()) for f in feats]
+    pts3 = np.full((bs, A, P, cams, 2), 2.0, np.float32)
+    for a in range(A):
+        for p in range(P):
+            loc = rng.rand(2) * 0.9 + 0.05
+            for c in rng.choice(cams, 3, replace=False):
+                pts3[0, a, p, c] = loc
+    pts3j = jnp.asarray(pts3)
+    ref = np.asarray(deformable_aggregation(feats_same, pts3j, w))
+    raw = np.asarray(deformable_aggregation_topk(
+        feats_same, pts3j, w, cam_k=2, matmul_levels=()))
+    ren3 = np.asarray(deformable_aggregation_topk(
+        feats_same, pts3j, w, cam_k=2, matmul_levels=(), cam_renorm=True))
+    err_raw = np.abs(raw - ref).mean()
+    err_ren = np.abs(ren3 - ref).mean()
+    assert err_raw > 1e-3, err_raw
+    np.testing.assert_allclose(ren3, ref, rtol=1e-4, atol=1e-4)
+    assert err_ren < err_raw * 0.05, (err_ren, err_raw)
+
+
+def test_point_topk_exact_when_mass_covered():
+    """point_k pruning is exact when the dropped keypoints carry zero
+    weight, and near-exact when they carry concentrated small mass."""
+    from hipad_tpu.ops.sampling import deformable_aggregation_topk
+
+    rng = np.random.RandomState(17)
+    bs, cams, C, G, A, P = 1, 4, 32, 4, 5, 8
+    shapes = [(16, 24), (8, 12)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    pts = jnp.asarray(rng.uniform(0.05, 0.95, (bs, A, P, cams, 2)).astype(np.float32))
+    w = rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32)
+    # zero out all but 3 points per anchor
+    keep = np.zeros((A, P), np.float32)
+    for a in range(A):
+        keep[a, rng.choice(P, 3, replace=False)] = 1.0
+    w_sparse = jnp.asarray(w * keep[None, :, :, None, None, None])
+
+    ref = deformable_aggregation(feats, pts, w_sparse)
+    pruned = deformable_aggregation_topk(
+        feats, pts, w_sparse, cam_k=cams, matmul_levels=(), point_k=3)
+    np.testing.assert_allclose(np.asarray(pruned), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # concentrated-but-nonzero tail: renormalised top-half stays close
+    w_conc = w * (keep[None, :, :, None, None, None] + 0.02)
+    w_conc = jnp.asarray(w_conc)
+    ref_c = np.asarray(deformable_aggregation(feats, pts, w_conc))
+    pr_c = np.asarray(deformable_aggregation_topk(
+        feats, pts, w_conc, cam_k=cams, matmul_levels=(), point_k=4))
+    rel = np.abs(pr_c - ref_c).mean() / (np.abs(ref_c).mean() + 1e-9)
+    assert rel < 0.12, rel

@@ -61,11 +61,10 @@ def main():
     rtt = rtt_floor()
     print(f"RTT {rtt*1e3:.2f} ms")
 
-    # 1. compaction/prepare only: camera top-k + one-hot selection
-    def prep_only(p):
+    # 1. compaction/prepare only: camera selection + one-hot compaction.
+    def compact(p, sel_fn, k=3):
         inside = jnp.all((p > 0.0) & (p < 1.0), axis=-1)
-        score = inside.astype(jnp.float32) - jnp.arange(CAMS) * 1e-6
-        _, cam_idx = jax.lax.top_k(score, 3)
+        cam_idx = sel_fn(inside, k)
         sel = jax.nn.one_hot(cam_idx, CAMS, dtype=wts.dtype)
         pp = jnp.einsum("bmkc,bmcd->bmkd", sel.astype(p.dtype), p)
         ins = jnp.einsum("bmkc,bmc->bmk", sel, inside.astype(wts.dtype))
@@ -73,7 +72,28 @@ def main():
         w = (ww * ins[..., None, None])
         return pp.sum() + w.sum() + cam_idx.astype(p.dtype).sum()
 
-    print(f"prepare/compaction only : {timed(prep_only, pts, rtt)*1e3:8.2f} ms")
+    def sel_topk(inside, k):
+        score = inside.astype(jnp.float32) - jnp.arange(CAMS) * 1e-6
+        _, cam_idx = jax.lax.top_k(score, k)
+        return cam_idx
+
+    def sel_argmax(inside, k):
+        score = inside.astype(jnp.float32)
+        picks = []
+        for _ in range(k):
+            idx = jnp.argmax(score, axis=-1)
+            picks.append(idx)
+            score = score - 2.0 * jax.nn.one_hot(idx, CAMS, dtype=score.dtype)
+        return jnp.stack(picks, axis=-1)
+
+    def sel_only(p, sel_fn, k=3):
+        inside = jnp.all((p > 0.0) & (p < 1.0), axis=-1)
+        return sel_fn(inside, k).astype(jnp.float32).sum()
+
+    print(f"cam select top_k  only  : {timed(lambda p: sel_only(p, sel_topk), pts, rtt)*1e3:8.2f} ms")
+    print(f"cam select argmax only  : {timed(lambda p: sel_only(p, sel_argmax), pts, rtt)*1e3:8.2f} ms")
+    print(f"prep/compact (top_k)    : {timed(lambda p: compact(p, sel_topk), pts, rtt)*1e3:8.2f} ms")
+    print(f"prep/compact (argmax)   : {timed(lambda p: compact(p, sel_argmax), pts, rtt)*1e3:8.2f} ms")
 
     # 2. gather levels 0+1 only (no matmul levels)
     def g01(p):

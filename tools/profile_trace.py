@@ -1,0 +1,105 @@
+"""Device-trace profile of the stage-2 streaming forward.
+
+Runs a few hard-synced frames under jax.profiler.trace and aggregates the
+device trace's per-op durations (Chrome-trace JSON inside the TensorBoard
+logdir) — names the actual top HLO fusions instead of inferring from
+microbenches. Falls back gracefully if the backend emits no device track.
+
+Run: python -u tools/profile_trace.py [--set k=v ...]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_model(overrides, frames=3, bs=1):
+    from hipad_tpu.configs.model import stage2
+    from hipad_tpu.data import synthetic
+    from hipad_tpu.models.detector import HiPAD
+    from hipad_tpu.models.instance_bank import init_bank_states
+    from hipad_tpu.train.train_step import META_KEYS
+
+    cfg = stage2(**overrides)
+    model = HiPAD(cfg, dtype=jnp.bfloat16)
+    batch = synthetic.make_batch(cfg, bs)
+    images = jnp.asarray(batch["images"])
+    metas = {k: jnp.asarray(batch[k]) for k in META_KEYS}
+    variables = jax.jit(lambda r: model.init(
+        {"params": r}, images, metas, train=False))(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(img, banks):
+        out, banks = model.apply(variables, img, metas, banks, train=False)
+        return out["plan"]["final_waypoints"], banks
+
+    banks = init_bank_states(cfg, bs, feature_dtype=jnp.bfloat16)
+    imgs = [images + jnp.asarray(i * 1e-3, images.dtype) for i in range(4)]
+    wp, banks = step(imgs[0], banks)  # compile outside the trace
+    float(jnp.sum(wp))
+
+    logdir = "/tmp/hipad_trace"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        for i in range(frames):
+            wp, banks = step(imgs[1 + i % 3], banks)
+            float(jnp.sum(wp))
+    return logdir, frames
+
+
+def aggregate(logdir, frames):
+    paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        print("no trace.json.gz found — backend emitted no device trace;"
+              f" contents: {glob.glob(logdir + '/**', recursive=True)[:20]}")
+        return
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device lanes: pid whose process_name mentions TPU/device
+    proc_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in proc_names.items()
+                if "TPU" in n or "/device" in n.lower() or "Device" in n}
+    by_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            dur = e.get("dur", 0) / 1e3  # us -> ms
+            name = e.get("name", "?")
+            by_op[name] += dur
+            total += dur
+    if not by_op:
+        print(f"device pids {dev_pids} had no X events; "
+              f"processes: {list(proc_names.values())[:10]}")
+        return
+    print(f"total device time {total:.1f} ms over {frames} frames "
+          f"({total/frames:.1f} ms/frame)")
+    print(f"{'ms/frame':>9}  {'%':>5}  op")
+    for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{ms/frames:9.2f}  {100*ms/total:5.1f}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", action="append", default=[])
+    args = ap.parse_args()
+    import ast
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = ast.literal_eval(v)
+    logdir, frames = run_model(overrides)
+    aggregate(logdir, frames)

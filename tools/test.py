@@ -72,6 +72,11 @@ def main():
         eval_motion=args.eval_motion,
     )
 
+    if "detection" in summary:
+        from hipad_tpu.eval.detection import format_detection_table
+
+        print(format_detection_table(summary["detection"]))
+        print()
     print(json.dumps(summary, indent=2, default=float))
     if args.out:
         with open(args.out, "w") as f:
