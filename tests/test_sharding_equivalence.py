@@ -64,7 +64,9 @@ def test_sharded_step_equals_single_device():
     # effect by ~lr per entry)
     flat8 = jax.tree_util.tree_leaves(p8)
     flat1 = jax.tree_util.tree_leaves(p1)
-    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(flat8, flat1))
+    # pull to host: the two trees live on different meshes
+    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(flat8, flat1))
     assert worst < 1e-3, f"param update divergence {worst}"
 
 
