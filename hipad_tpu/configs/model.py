@@ -422,6 +422,17 @@ def stage1(kmeans_dir: str = REFERENCE_KMEANS_DIR, **overrides) -> HiPADConfig:
     return stage2(kmeans_dir, **overrides)
 
 
+def stage2_serving(kmeans_dir: str = REFERENCE_KMEANS_DIR,
+                   **overrides) -> HiPADConfig:
+    """Serving configuration: stage-2 weights/semantics with the documented
+    latency approximations enabled — weight-top-k keypoint pruning
+    (renormalised, sampler_point_frac) on top of the renormalised cam_k=2
+    default. The exact-semantics config remains ``stage2()``; error bounds
+    for each knob live in tests/test_sampling.py."""
+    overrides.setdefault("sampler_point_frac", 0.34)
+    return stage2(kmeans_dir, **overrides)
+
+
 def stage2_r101_2x(kmeans_dir: str = REFERENCE_KMEANS_DIR,
                    **overrides) -> HiPADConfig:
     """Scaled-backbone stress config (BASELINE.json configs[4]): ResNet101

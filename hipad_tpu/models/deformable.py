@@ -106,9 +106,33 @@ class DeformableAggregation(nn.Module):
             )
             w = w * keep / (1.0 - self.attn_drop)
 
+        pts_cam = project_points(key_points, projection_mat, image_wh)
+        # [bs, cams, n, P, 2]
+
+        if self.sampler_point_frac < 1.0:
+            # Early keypoint top-k (see ops/sampling.py point_k docs): prune
+            # HERE, before the [.., P, cams, L, G] transpose, so every
+            # downstream tensor (transposes, compaction, gathers, interp
+            # operands — including the fused path's concats) shrinks by
+            # P/kp. Importance = total in-bounds weight mass per (anchor,
+            # point); truncated mass renormalised onto the kept points.
+            kp = max(1, int(-(-num_pts * self.sampler_point_frac // 1)))
+            inside = jnp.all((pts_cam > 0.0) & (pts_cam < 1.0), axis=-1)
+            insw = jnp.transpose(inside, (0, 2, 1, 3))  # [bs, n, cams, P]
+            wm = w * insw[:, :, :, None, :, None].astype(w.dtype)
+            imp = wm.sum(axis=(2, 3, 5))  # [bs, n, P]
+            _, pidx = jax.lax.top_k(imp, kp)
+            sel = jax.nn.one_hot(pidx, num_pts, dtype=w.dtype)  # [bs,n,kp,P]
+            full = wm.sum(axis=4)  # [bs, n, cams, L, G]
+            kept = jnp.einsum("bnkp,bnclpg->bnclg", sel, wm)
+            ratio = full / jnp.maximum(kept, 1e-9)
+            w = jnp.einsum("bnkp,bnclpg->bnkclg", sel, w) * ratio[:, :, None]
+            pts_sel = jnp.einsum(
+                "bnkp,bcnpd->bnkcd", sel.astype(pts_cam.dtype), pts_cam)
+            return pts_sel, w  # [bs,n,kp,cams,2], [bs,n,kp,cams,L,G]
+
         w = jnp.transpose(w, (0, 1, 4, 2, 3, 5))  # [bs, n, P, cams, L, G]
-        pts2d = project_points(key_points, projection_mat, image_wh)
-        pts2d = jnp.transpose(pts2d, (0, 2, 3, 1, 4))  # [bs, n, P, cams, 2]
+        pts2d = jnp.transpose(pts_cam, (0, 2, 3, 1, 4))  # [bs, n, P, cams, 2]
         return pts2d, w
 
     def finish(self, features: jnp.ndarray, instance_feature: jnp.ndarray):
@@ -136,17 +160,14 @@ class DeformableAggregation(nn.Module):
                 instance_feature.shape[:2] + (self.embed_dims,),
                 w.dtype) + 0.0 * (w.sum() + pts2d.sum().astype(w.dtype))
         elif self.sampler == "topk":
-            point_k = None
-            if self.sampler_point_frac < 1.0:
-                point_k = max(1, int(-(-self.kps.num_pts
-                                       * self.sampler_point_frac // 1)))
+            # keypoint pruning already happened inside prepare (early, so
+            # the fused path and all intermediates shrink too)
             features = deformable_aggregation_topk(
                 feature_maps, pts2d, w,
                 cam_k=self.sampler_cam_k,
                 matmul_levels=self.sampler_matmul_levels,
                 row_packed=self.sampler_row_packed,
                 cam_renorm=self.sampler_cam_renorm,
-                point_k=point_k,
             )
         else:
             features = deformable_aggregation(feature_maps, pts2d, w)

@@ -626,8 +626,11 @@ def deformable_samples_topk_flat(
         # for triple-overlap near-field points this replaces the dropped
         # camera's softmax share instead of silently losing it (the
         # reference sums all in-bounds cameras, `blocks.py:178-214`).
-        full = jnp.einsum("bmclg,bmc->bmlg", weights,
-                          inside.reshape(bs, M0, num_cams).astype(weights.dtype))
+        # Elementwise multiply + axis-reduce, NOT an einsum: the einsum's
+        # batch-dim convention forced a full-weights relayout copy
+        # (~0.5 ms per task-layer, seen in the device trace).
+        full = (weights * inside[..., None, None].astype(weights.dtype)
+                ).sum(axis=2)  # [b, M0, L, G]
         kept = w.sum(axis=2)  # [b, M0, L, G]
         ratio = full / jnp.maximum(kept, 1e-9)
         w = w * ratio[:, :, None]

@@ -96,7 +96,8 @@ def test_point_expansion_temporal_and_grads():
 def test_topk_mode_prunes_and_pads():
     k_last = 2
     cfg = tiny(with_topk_mode=True, topk_mode_list=(3, k_last),
-               keep_topk_relative_pos=True)
+               keep_topk_relative_pos=True,
+               num_temp_plan_mode=k_last)  # last layer must cover the plan bank
     model, variables, batch, images, metas = _make(cfg)
     out, _ = model.apply(variables, images, metas, None, train=False)
     per = cfg.ego_fut_cmd * cfg.ego_fut_mode
@@ -116,7 +117,7 @@ def test_topk_mode_prunes_and_pads():
 
 
 def test_topk_mode_loss_ignores_padded_modes():
-    cfg = tiny(with_topk_mode=True, topk_mode_list=(3, 2))
+    cfg = tiny(with_topk_mode=True, topk_mode_list=(3, 2), num_temp_plan_mode=2)
     model, variables, batch, images, metas = _make(cfg)
     out, _ = model.apply(variables, images, metas, None, train=False)
     data = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -130,3 +131,22 @@ def test_topk_mode_list_validation():
         tiny(with_topk_mode=True, topk_mode_list=(3,))
     with pytest.raises(ValueError):
         tiny(with_topk_mode=True, topk_mode_list=None)
+
+
+def test_point_frac_serving_smoke():
+    """sampler_point_frac < 1 (early keypoint pruning in prepare) runs the
+    full model and keeps output shapes; exactness bounds are covered at the
+    op level in test_sampling.py."""
+    cfg = tiny(sampler_point_frac=0.5)
+    model, variables, batch, images, metas = _make(cfg)
+    out, banks = model.apply(variables, images, metas, None, train=False)
+    assert np.isfinite(np.asarray(
+        out["plan"]["final_waypoints"], np.float32)).all()
+    assert out["det"]["prediction"].shape[2] == cfg.num_det_anchor
+
+    # fused path must prune identically (shares prepare)
+    cfg2 = tiny(sampler_point_frac=0.5, fused_deformable=True)
+    model2, variables2, batch2, images2, metas2 = _make(cfg2)
+    out2, _ = model2.apply(variables2, images2, metas2, None, train=False)
+    assert np.isfinite(np.asarray(
+        out2["plan"]["final_waypoints"], np.float32)).all()
