@@ -16,6 +16,12 @@ Baseline: the reference runs closed-loop CARLA at a 20 Hz tick with one model
 inference per tick on an RTX 4090 (`hipad_b2d_agent.py:250`,
 `run_evaluation_multi_hipad.sh:23-24` — two sims per GPU, so ~40 fps/GPU
 sustained). BASELINE.json's north star is >=3x.
+
+Default config is ``stage2_serving`` — the production latency configuration
+(renormalised cam_k=2 + weight-top-k keypoint pruning; every knob's error
+bound is tested in tests/test_sampling.py and documented in
+configs/model.py). ``--config stage2`` benches the exact reference
+semantics; both numbers are reported in README.
 """
 
 import argparse
@@ -107,6 +113,7 @@ def main(sync=False, bs=1, config="stage2", **overrides):
         # device-time estimate (value) and the measured wall rate coexist.
         "fps_unadjusted": round(bs / med, 2),
         "rtt_ms": round(rtt * 1e3, 2),
+        "config": config, "bs": bs,
     }))
 
 
@@ -120,9 +127,11 @@ if __name__ == "__main__":
                         help="per-frame host sync (latency upper bound)")
     parser.add_argument("--bs", type=int, default=1,
                         help="independent streams batched per chip")
-    parser.add_argument("--config", default="stage2",
+    parser.add_argument("--config", default="stage2_serving",
                         help="config factory in hipad_tpu.configs.model "
-                             "(stage2 | stage2_r101_2x | stage1)")
+                             "(stage2_serving = production latency config; "
+                             "stage2 = exact reference semantics; "
+                             "stage2_r101_2x | stage1)")
     args = parser.parse_args()
     import ast as _ast
 

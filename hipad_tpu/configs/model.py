@@ -429,7 +429,7 @@ def stage2_serving(kmeans_dir: str = REFERENCE_KMEANS_DIR,
     (renormalised, sampler_point_frac) on top of the renormalised cam_k=2
     default. The exact-semantics config remains ``stage2()``; error bounds
     for each knob live in tests/test_sampling.py."""
-    overrides.setdefault("sampler_point_frac", 0.34)
+    overrides.setdefault("sampler_point_frac", 0.25)
     return stage2(kmeans_dir, **overrides)
 
 
