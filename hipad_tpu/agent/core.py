@@ -194,26 +194,35 @@ class AgentCore:
         self.metric_info[self.step] = meta
 
         if self.visualize_dir and self.step % self.visualize_interval == 0:
-            self._dump_bev(decoded)
+            self._dump_composite(decoded, obs, target_point)
         return {"steer": steer, "throttle": throttle, "brake": brake,
                 "metadata": meta}
 
-    def _dump_bev(self, decoded):
-        """Composite BEV dump per N steps (counterpart of the agent's
-        visualization JPEGs, `hipad_b2d_agent.py:617-750`)."""
+    def _dump_composite(self, decoded, obs, target_point):
+        """Multi-camera + BEV composite dump per N steps — the counterpart
+        of the reference agent's visualization JPEGs
+        (`hipad_b2d_agent.py:617-750`): detections on every camera, plan
+        trajectories + target point on the front cameras and the BEV panel."""
         import os
 
         from .. import postprocess
-        from ..utils.viz import render_frame
+        from ..utils.viz import render_composite, render_frame
 
         os.makedirs(self.visualize_dir, exist_ok=True)
         res = postprocess.to_result_dicts(decoded)[0]
-        img = render_frame(res)
         try:
             from PIL import Image
 
+            in_h, in_w = self.cfg.input_size
+            cams = {}
+            for cam in CAMERAS:
+                im = Image.fromarray(obs["images"][cam].astype(np.uint8))
+                cams[cam] = np.asarray(im.resize((in_w, in_h)))
+            l2i = {cam: self.lidar2img[i] for i, cam in enumerate(CAMERAS)}
+            img = render_composite(cams, l2i, res, target_point=target_point)
             Image.fromarray(img).save(
-                os.path.join(self.visualize_dir, f"bev_{self.step:06d}.png"))
+                os.path.join(self.visualize_dir, f"{self.step:06d}.jpg"),
+                quality=85)
         except ImportError:
             np.save(os.path.join(self.visualize_dir, f"bev_{self.step:06d}.npy"),
-                    img)
+                    render_frame(res))

@@ -126,3 +126,75 @@ def render_frame(result: Dict, gt_boxes: Optional[np.ndarray] = None,
     if gt_boxes is not None and len(gt_boxes):
         bev.draw_boxes(gt_boxes, labels=np.full(len(gt_boxes), 8))
     return bev.img
+
+
+def _draw_circle(img: np.ndarray, center, radius: int, color):
+    h, w = img.shape[:2]
+    cx, cy = int(center[0]), int(center[1])
+    for t in np.linspace(0, 2 * np.pi, 8 * radius + 8):
+        x, y = int(cx + radius * np.cos(t)), int(cy + radius * np.sin(t))
+        if 0 <= x < w and 0 <= y < h:
+            img[y, x] = color
+
+
+def _project_traj(traj_xy: np.ndarray, lidar2img: np.ndarray,
+                  z: float = -1.8) -> np.ndarray:
+    """Ground-plane waypoints -> image points with positive depth
+    (`hipad_b2d_agent.py:646-663`)."""
+    n = len(traj_xy)
+    pts = np.concatenate([traj_xy, np.full((n, 1), z), np.ones((n, 1))], axis=1)
+    proj = (lidar2img @ pts.T).T
+    keep = proj[:, 2] > 1e-5
+    return proj[keep, :2] / proj[keep, 2:3]
+
+
+def render_composite(
+    cam_images: Dict[str, np.ndarray],
+    lidar2imgs: Dict[str, np.ndarray],
+    result: Dict,
+    target_point: Optional[np.ndarray] = None,
+    cam_order=("CAM_FRONT_LEFT", "CAM_FRONT", "CAM_FRONT_RIGHT",
+               "CAM_BACK_RIGHT", "CAM_BACK", "CAM_BACK_LEFT"),
+) -> np.ndarray:
+    """Reference-style composite dump (`hipad_b2d_agent.py:617-750`): a 2x3
+    multi-camera mosaic (detections on every camera; selected plan
+    trajectories + target point on the three front cameras) with the BEV
+    panel on the right. Pure numpy/PIL — no cv2."""
+    front_cams = {"CAM_FRONT", "CAM_FRONT_LEFT", "CAM_FRONT_RIGHT"}
+    tiles = []
+    boxes = np.asarray(result.get("boxes_3d", np.zeros((0, 9))))
+    labels = np.asarray(result.get("labels_3d", np.zeros((0,), int)))
+    scores = np.asarray(result.get("scores_3d", np.zeros((0,))))
+    keep = scores > 0.3
+    boxes, labels = boxes[keep][:50], labels[keep][:50]
+
+    for cam in cam_order:
+        img = cam_images[cam].copy()
+        l2i = lidar2imgs[cam]
+        img = draw_boxes_on_image(img, boxes, l2i, labels)
+        if cam in front_cams:
+            for key, color in (("plan_spat_2m", (0, 200, 255)),
+                               ("plan_speed_5hz", (255, 0, 0))):
+                if key in result:
+                    traj = np.concatenate(
+                        [np.zeros((1, 2)), np.asarray(result[key])])
+                    uv = _project_traj(traj, l2i)
+                    for a, b in zip(uv[:-1], uv[1:]):
+                        _line(img, a, b, np.array(color, np.uint8), 3)
+            if target_point is not None:
+                uv = _project_traj(np.asarray(target_point)[None], l2i)
+                if len(uv):
+                    _draw_circle(img, uv[0], 7, np.array((255, 105, 120),
+                                                         np.uint8))
+        tiles.append(img)
+
+    h, w = tiles[0].shape[:2]
+    line1 = np.hstack(tiles[:3])
+    line2 = np.hstack(tiles[3:])
+    mosaic = np.vstack([line1, line2])
+    bev = render_frame(result, size=2 * h)
+    if target_point is not None:
+        canvas = BEVCanvas(2 * h)
+        px = canvas.to_px(np.asarray(target_point, np.float64))
+        _draw_circle(bev, px, 4, np.array((255, 105, 120), np.uint8))
+    return np.hstack([mosaic, bev])

@@ -81,3 +81,40 @@ def test_split_routes_contiguous(tmp_path):
     assert [len(c) for c in chunks] == [3, 3, 3, 2]
     flat = [r.get("id") for c in chunks for r in c]
     assert flat == [str(i) for i in range(11)]  # order preserved
+
+
+def test_agent_composite_visualization(tmp_path):
+    """The per-step composite dump (multi-cam mosaic + BEV) renders and is
+    saved (`hipad_b2d_agent.py:617-750` counterpart)."""
+    import jax.numpy as jnp
+
+    from hipad_tpu.agent.replay import FakeSim, run_replay
+    from hipad_tpu.data import synthetic
+    from hipad_tpu.models.detector import HiPAD
+    from hipad_tpu.train.train_step import META_KEYS
+
+    cfg = tiny(num_cams=6, input_size=(64, 128))
+    aug_conf = {
+        "resize_lim": (0.4, 0.4), "final_dim": (64, 128),
+        "bot_pct_lim": (0.0, 0.0), "rot_lim": (0.0, 0.0),
+        "H": 90, "W": 160, "rand_flip": False, "rot3d_range": (0.0, 0.0),
+    }
+    model = HiPAD(cfg)
+    batch = synthetic.make_batch(cfg, 1)
+    images = jnp.asarray(batch["images"])
+    metas = {k: jnp.asarray(batch[k]) for k in META_KEYS}
+    variables = jax.jit(lambda r: model.init({"params": r}, images, metas,
+                                             train=False))(jax.random.PRNGKey(0))
+    core = AgentCore(cfg, variables, dtype=None, jpeg_quality=None,
+                     aug_conf=aug_conf, n_banks=2,
+                     visualize_dir=str(tmp_path), visualize_interval=1)
+    sim = FakeSim(route_length=30.0, img_hw=(90, 160))
+    run_replay(core, max_steps=2, sim=sim)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names, "no composite dump written"
+    if names[0].endswith(".jpg"):
+        from PIL import Image
+
+        img = np.asarray(Image.open(tmp_path / names[0]))
+        h, w = img.shape[:2]
+        assert h == 2 * 64 and w == 3 * 128 + 2 * 64  # 2x3 mosaic + BEV
