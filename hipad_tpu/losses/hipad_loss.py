@@ -27,6 +27,7 @@ from ..configs.model import HiPADConfig
 from ..core.box3d import CNS, COS_YAW, SIN_YAW, X, YNS
 from ..targets import det as det_tgt
 from ..targets import map as map_tgt
+from ..targets import matching
 from ..targets import motion as motion_tgt
 from ..targets import plan as plan_tgt
 from .common import (
@@ -117,6 +118,17 @@ def loss_det(cfg: HiPADConfig, det_out: Dict, data: Dict):
               "det_loss_cns": 0.0, "det_loss_yns": 0.0}
     col4gt = None
     L = det_out["classification"].shape[0]
+    bs = det_out["classification"].shape[1]
+    # One layer-batched Hungarian solve for all L layers: the vmapped JV
+    # iterates lock-step, so L solver instances cost ~the slowest one instead
+    # of the sum (12 sequential while-loops measured ~25% of the train step).
+    costs = [det_tgt.det_cost(det_out["classification"][i],
+                              det_out["prediction"][i],
+                              data["gt_labels_3d"], data["gt_bboxes_3d"])[0]
+             for i in range(L)]
+    col_all = matching.assign(
+        jnp.concatenate(costs, axis=0),
+        jnp.concatenate([data["gt_valid"]] * L, axis=0))
     for i in range(L):
         cls = det_out["classification"][i]
         reg = det_out["prediction"][i][..., : len(DET_REG_WEIGHTS)]
@@ -124,6 +136,7 @@ def loss_det(cfg: HiPADConfig, det_out: Dict, data: Dict):
         cls_t, box_t, rw, col4gt = det_tgt.det_target(
             cls, det_out["prediction"][i], data["gt_labels_3d"],
             data["gt_bboxes_3d"], data["gt_valid"], cfg.num_det_classes,
+            col4gt=col_all[i * bs:(i + 1) * bs],
         )
         out = _det_map_layer_loss(
             cls, reg, qt, cls_t, box_t[..., : len(DET_REG_WEIGHTS)],
@@ -138,12 +151,22 @@ def loss_det(cfg: HiPADConfig, det_out: Dict, data: Dict):
 def loss_map(cfg: HiPADConfig, map_out: Dict, data: Dict):
     losses = {"map_loss_cls": 0.0, "map_loss_line": 0.0}
     L = map_out["classification"].shape[0]
+    bs = map_out["classification"].shape[1]
+    costs = [map_tgt.map_cost(map_out["classification"][i],
+                              map_out["prediction"][i],
+                              data["gt_map_labels"], data["gt_map_pts"],
+                              cfg.map_roi_size)[0]
+             for i in range(L)]
+    col_all = matching.assign(
+        jnp.concatenate(costs, axis=0),
+        jnp.concatenate([data["gt_map_valid"]] * L, axis=0))
     for i in range(L):
         cls = map_out["classification"][i]
         reg = map_out["prediction"][i]
         cls_t, pts_t, rw = map_tgt.map_target(
             cls, reg, data["gt_map_labels"], data["gt_map_pts"],
             data["gt_map_valid"], cfg.num_map_classes, cfg.map_roi_size,
+            col4gt=col_all[i * bs:(i + 1) * bs],
         )
         out = _det_map_layer_loss(
             cls, reg, None, cls_t, pts_t, rw, cfg, cfg.num_map_classes,

@@ -398,7 +398,7 @@ def _patch_bilinear_bwd(res, g_out):
     patch = _patch_gather(feat, cam, sy, sx).astype(g_out.dtype)
     g_wy = jnp.einsum("bmC,bmijC,bmj->bmi", g_out, patch, wx)
     g_wx = jnp.einsum("bmC,bmijC,bmi->bmj", g_out, patch, wy)
-    g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
+    g_feat = _fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return g_feat, f0(cam), f0(sy), f0(sx), g_wy, g_wx
 
@@ -462,7 +462,7 @@ def _packed_row_bilinear_bwd(res, g_out):
     g_wy = jnp.einsum("bmC,bmijC,bmj->bmi", g_out, patch, wx)
     g_wx = jnp.einsum("bmC,bmijC,bmi->bmj", g_out, patch, wy)
     # d(feat): same dense-matmul adjoint as patch_bilinear (2-hot rows/cols)
-    g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
+    g_feat = _fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return (g_feat, jnp.zeros_like(packed), f0(cam), f0(sy), f0(sx), g_wy, g_wx)
 
@@ -523,12 +523,99 @@ def _patch_bilinear_w_bwd(res, g_out):
     # separable 2-hot structure as patch_bilinear's
     go4 = g_out.reshape(bs, M, G, gd)
     gg = (go4 * wg[..., None]).reshape(bs, M, C)
-    g_feat = _dense_fmap_grad(feat, cam, sy, sx, wy, wx, gg)
+    g_feat = _fmap_grad(feat, cam, sy, sx, wy, wx, gg)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     return g_feat, f0(cam), f0(sy), f0(sx), g_wy, g_wx, g_wg
 
 
 patch_bilinear_w.defvjp(_patch_bilinear_w_fwd, _patch_bilinear_w_bwd)
+
+
+def _segment_fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
+    """Feature-map gradient via sort + segmented cumsum (exact, static).
+
+    The dense einsum adjoint (:func:`_dense_fmap_grad`) costs
+    ``2*M*(cams*H)*(W*C)`` FLOPs — ~44 TFLOP per stage-2 train step across
+    12 (layer, level) instances, the single largest cost of training. This
+    formulation exploits that each sample's adjoint touches exactly 4 cells:
+
+      1. sort samples by top-left target cell ``(cam*H + sy)*W + sx`` (one
+         ``sort_key_val`` of int32 keys + ONE payload row gather);
+      2. the four bilinear-corner streams have keys ``cell + {0, 1, W, W+1}``
+         — still sorted — so one f32 cumsum over the stacked ``[M, 4, C]``
+         corner values gives every segment sum by boundary differencing;
+      3. boundary positions come from exact per-cell counts built with two
+         one-hot matmuls (f32 accumulation; integers < 2^24 are exact) and
+         a cumsum — no scatter anywhere;
+      4. ONE ``[NC+1, 4C]`` boundary-row gather + static shifted-slice adds
+         place the per-cell corner sums into the image.
+
+    Cumsum cancellation is tamed by mean-centering the corner values and
+    adding ``counts * mean`` back per cell. Gradient is exact for any sample
+    distribution (no capacity/spill heuristics).
+
+    MEASURED (v5e, tools/microbench_fmapgrad.py, M=170k): despite ~25x fewer
+    FLOPs, this loses to the dense einsum — lax.sort of 170k int32 pairs
+    costs ~33 ms and the [M, 4C] cumsum ~23 ms on this stack, while the
+    einsum runs at ~83% of MXU peak (45 ms for 7.3 TFLOP at level 0).
+    Kept as the asymptotically-better path (wins at 2x+ resolution where
+    einsum FLOPs quadruple but sort cost is flat) behind ``HIPAD_FMGRAD=
+    segment``; the default stays on the einsum.
+    """
+    bs, cams, H, W, C = feat.shape
+    M = cam.shape[1]
+    NC = cams * H * W
+    LOW = 128
+    nb = -(-NC // LOW)
+
+    def one(cam1, sy1, sx1, wy1, wx1, g1):
+        cell = (cam1 * H + sy1) * W + sx1  # [M]
+        _, sidx = jax.lax.sort_key_val(cell, jnp.arange(M, dtype=jnp.int32))
+        pdt = g1.dtype
+        payload = jnp.concatenate(
+            [g1, wy1.astype(pdt), wx1.astype(pdt)], axis=1)  # [M, C+4]
+        ps = jnp.take(payload, sidx, axis=0)
+        gs = ps[:, :C].astype(jnp.float32)
+        wys = ps[:, C:C + 2].astype(jnp.float32)
+        wxs = ps[:, C + 2:].astype(jnp.float32)
+
+        wk = jnp.stack([wys[:, 0] * wxs[:, 0], wys[:, 0] * wxs[:, 1],
+                        wys[:, 1] * wxs[:, 0], wys[:, 1] * wxs[:, 1]], axis=1)
+        v = wk[:, :, None] * gs[:, None, :]  # [M, 4, C]
+        mean = v.mean(axis=0)  # [4, C]
+        cs = jnp.concatenate(
+            [jnp.zeros((1, 4, C), jnp.float32),
+             jnp.cumsum(v - mean[None], axis=0)], axis=0)  # [M+1, 4, C]
+
+        oh_hi = jax.nn.one_hot(cell // LOW, nb, dtype=jnp.bfloat16)
+        oh_lo = jax.nn.one_hot(cell % LOW, LOW, dtype=jnp.bfloat16)
+        counts = jnp.einsum("pb,pl->bl", oh_hi, oh_lo,
+                            preferred_element_type=jnp.float32)
+        counts = counts.reshape(nb * LOW)[:NC]
+        end = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                               jnp.cumsum(counts)]).astype(jnp.int32)
+
+        G = jnp.take(cs.reshape(M + 1, 4 * C), end, axis=0)  # [NC+1, 4C]
+        D = (G[1:] - G[:-1]).reshape(NC, 4, C)
+        D = D + counts[:, None, None] * mean[None]
+
+        out = D[:, 0]
+        for k, off in ((1, 1), (2, W), (3, W + 1)):
+            out = out.at[off:].add(D[:-off, k])
+        return out.reshape(cams, H, W, C)
+
+    return jax.vmap(one)(cam, sy, sx, wy, wx, g_out).astype(feat.dtype)
+
+
+def _fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
+    """Feature-map adjoint dispatcher: chunked einsum (default; ~83% of MXU
+    peak, measured) or sort+segment (``HIPAD_FMGRAD=segment`` — fewer FLOPs
+    but sort/cumsum-bound at stage-2 scale; see _segment_fmap_grad)."""
+    import os
+
+    if os.environ.get("HIPAD_FMGRAD") == "segment":
+        return _segment_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
+    return _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
 
 
 def _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out):

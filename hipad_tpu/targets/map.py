@@ -38,31 +38,20 @@ def _smooth_l1(diff: jnp.ndarray, beta: float) -> jnp.ndarray:
     return jnp.where(ad < beta, 0.5 * ad * ad / beta, ad - 0.5 * beta)
 
 
-def map_target(
+def map_cost(
     cls_pred: jnp.ndarray,
     pts_pred: jnp.ndarray,
     gt_labels: jnp.ndarray,
     gt_pts: jnp.ndarray,
-    gt_mask: jnp.ndarray,
-    num_cls: int,
     roi_size: Tuple[float, float],
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Match GT polylines to map queries, permutation-invariantly.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hungarian cost + best-permutation index (see det.det_cost for why the
+    cost is split out: layer-batched assignment).
 
-    Args:
-      cls_pred: [bs, P, num_cls] logits.
-      pts_pred: [bs, P, num_pts*2] polylines (ROI frame).
-      gt_labels: [bs, G] int labels.
-      gt_pts: [bs, G, num_permute, num_pts, 2].
-      gt_mask: [bs, G] bool.
-
-    Returns:
-      cls_target [bs, P] int32, pts_target [bs, P, num_pts*2] (best permutation,
-      ROI frame), reg_weights [bs, P, num_pts*2] (1 where matched).
+    Returns: cost [bs, G, P], perm_idx [bs, P, G].
     """
     bs, P = cls_pred.shape[:2]
     G, n_perm, n_pts, _ = gt_pts.shape[1:]
-
     pred_n = normalize_line(pts_pred.reshape(bs, P, n_pts, 2), roi_size)
     gt_n = normalize_line(gt_pts, roi_size)
 
@@ -74,7 +63,38 @@ def map_target(
 
     cls_cost = focal_cls_cost(cls_pred, gt_labels, weight=1.0)
     cost = cls_cost + jnp.transpose(reg_cost, (0, 2, 1))  # [bs, G, P]
-    col4gt = matching.assign(cost, gt_mask)
+    return cost, perm_idx
+
+
+def map_target(
+    cls_pred: jnp.ndarray,
+    pts_pred: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_pts: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    num_cls: int,
+    roi_size: Tuple[float, float],
+    col4gt: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Match GT polylines to map queries, permutation-invariantly.
+
+    Args:
+      cls_pred: [bs, P, num_cls] logits.
+      pts_pred: [bs, P, num_pts*2] polylines (ROI frame).
+      gt_labels: [bs, G] int labels.
+      gt_pts: [bs, G, num_permute, num_pts, 2].
+      gt_mask: [bs, G] bool.
+      col4gt: optional precomputed assignment (layer-batched path).
+
+    Returns:
+      cls_target [bs, P] int32, pts_target [bs, P, num_pts*2] (best permutation,
+      ROI frame), reg_weights [bs, P, num_pts*2] (1 where matched).
+    """
+    bs, P = cls_pred.shape[:2]
+    G, n_perm, n_pts, _ = gt_pts.shape[1:]
+    cost, perm_idx = map_cost(cls_pred, pts_pred, gt_labels, gt_pts, roi_size)
+    if col4gt is None:
+        col4gt = matching.assign(cost, gt_mask)
 
     safe_col = jnp.where(col4gt >= 0, col4gt, P)
     bidx = jnp.arange(bs)[:, None]

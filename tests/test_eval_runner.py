@@ -90,3 +90,28 @@ def test_openloop_eval_all_tasks(setup):
     # synthetic world has no map elements -> map summary may be empty dict,
     # but the pipeline must run without error; motion produces EPA per class
     assert "motion" in summary or "map" in summary
+
+
+def test_report_tables_render():
+    """Reference-style report tables render for every eval section
+    (`bench2drive_dataset.py:1457-1597` counterpart)."""
+    from hipad_tpu.eval.report import (format_map_table, format_motion_table,
+                                       format_planning_table, format_summary)
+
+    map_res = {"AP_Broken": 0.5, "AP_Solid": 0.25, "mAP": 0.375}
+    mot_res = {"car_EPA": 0.4, "car_minADE": 1.0, "car_minFDE": 1.5,
+               "car_MR": 0.2, "pedestrian_EPA": 0.1, "pedestrian_minADE": 0.8,
+               "pedestrian_minFDE": 1.2, "pedestrian_MR": 0.3}
+    plan_res = {"plan_L2_1s": 0.2, "plan_L2_2s": 0.5, "plan_L2_3s": 1.0,
+                "plan_obj_col_1s": 0.0, "plan_obj_col_2s": 0.0,
+                "plan_obj_col_3s": 0.01, "plan_obj_box_col_1s": 0.0,
+                "plan_obj_box_col_2s": 0.01, "plan_obj_box_col_3s": 0.02,
+                "plan_L2_avg": 0.566, "plan_obj_box_col_avg": 0.01}
+    assert "map: 0.375" in format_map_table(map_res)
+    mt = format_motion_table(mot_res)
+    assert "car" in mt and "0.4000" in mt and "miss_rate_err" in mt
+    pt = format_planning_table(plan_res)
+    assert "avg" in pt and "0.5660" in pt
+    full = format_summary({"map": map_res, "motion": mot_res,
+                           "planning": plan_res})
+    assert "map: 0.375" in full and "pedestrian" in full and "avg" in full

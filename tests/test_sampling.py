@@ -356,3 +356,36 @@ def test_point_topk_exact_when_mass_covered():
         feats, pts, w_conc, cam_k=cams, matmul_levels=(), point_k=4))
     rel = np.abs(pr_c - ref_c).mean() / (np.abs(ref_c).mean() + 1e-9)
     assert rel < 0.12, rel
+
+
+def test_segment_fmap_grad_matches_dense():
+    """The sort+segment feature-map adjoint (HIPAD_FMGRAD=segment) equals
+    the chunked-einsum adjoint, including under adversarial concentration
+    (every sample in one 8x8 patch — the case capacity-based schemes get
+    wrong; this one has no capacities)."""
+    from hipad_tpu.ops.sampling import _dense_fmap_grad, _segment_fmap_grad
+
+    rng = np.random.RandomState(23)
+    bs, cams, H, W, C, M = 2, 6, 24, 40, 64, 3000
+    feat = jnp.zeros((bs, cams, H, W, C), jnp.float32)
+
+    for conc in (False, True):
+        if conc:
+            cam = np.zeros((bs, M), np.int32)
+            sy = rng.randint(0, 8, (bs, M)).astype(np.int32)
+            sx = rng.randint(0, 8, (bs, M)).astype(np.int32)
+        else:
+            cam = rng.randint(0, cams, (bs, M)).astype(np.int32)
+            sy = rng.randint(0, H - 1, (bs, M)).astype(np.int32)
+            sx = rng.randint(0, W - 1, (bs, M)).astype(np.int32)
+        wy = jnp.asarray(rng.rand(bs, M, 2).astype(np.float32))
+        wx = jnp.asarray(rng.rand(bs, M, 2).astype(np.float32))
+        g = jnp.asarray(rng.randn(bs, M, C).astype(np.float32))
+        ref = np.asarray(_dense_fmap_grad(feat, jnp.asarray(cam),
+                                          jnp.asarray(sy), jnp.asarray(sx),
+                                          wy, wx, g))
+        new = np.asarray(_segment_fmap_grad(feat, jnp.asarray(cam),
+                                            jnp.asarray(sy), jnp.asarray(sx),
+                                            wy, wx, g))
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(ref - new).max() / scale < 1e-4, conc

@@ -9,7 +9,13 @@ batch = 88,038 steps in ~46 h on 8x RTX 4090 => ~1.88 s/step at global
 batch 48, i.e. ~235 ms per sample-step per GPU.
 """
 
+import argparse
+import ast
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +30,15 @@ N = 8
 
 
 def main():
-    cfg = stage2()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--set", action="append", default=[],
+                    help="config overrides, e.g. --set decoder_remat=False")
+    args = ap.parse_args()
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = ast.literal_eval(v)
+    cfg = stage2(**overrides)
     tx = optax.adamw(2e-4)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx,
                                       batch_size=1)

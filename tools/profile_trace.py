@@ -56,6 +56,37 @@ def run_model(overrides, frames=3, bs=1):
     return logdir, frames
 
 
+def run_train(overrides, steps=2, bs=1):
+    """Trace the full jitted train step (forward + losses + backward + AdamW)."""
+    import optax
+
+    from hipad_tpu.configs.model import stage2
+    from hipad_tpu.data import synthetic
+    from hipad_tpu.models.instance_bank import init_bank_states
+    from hipad_tpu.train.train_step import create_train_state, make_train_step
+
+    cfg = stage2(**overrides)
+    tx = optax.adamw(2e-4)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx,
+                                      batch_size=bs)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(cfg, bs).items()}
+    banks = init_bank_states(cfg, bs, feature_dtype=jnp.bfloat16)
+    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0, 1))
+    rng = jax.random.PRNGKey(2)
+    state, banks, metrics = step(state, banks, batch, rng)
+    float(metrics["total_loss"])
+
+    logdir = "/tmp/hipad_trace"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        for i in range(steps):
+            state, banks, metrics = step(state, banks, batch,
+                                         jax.random.fold_in(rng, i))
+            float(metrics["total_loss"])
+    return logdir, steps
+
+
 def aggregate(logdir, frames):
     paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
     if not paths:
@@ -94,6 +125,8 @@ def aggregate(logdir, frames):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", action="append", default=[])
+    ap.add_argument("--train", action="store_true",
+                    help="trace the jitted train step instead of the forward")
     args = ap.parse_args()
     import ast
 
@@ -101,5 +134,8 @@ if __name__ == "__main__":
     for kv in args.set:
         k, v = kv.split("=", 1)
         overrides[k] = ast.literal_eval(v)
-    logdir, frames = run_model(overrides)
+    if args.train:
+        logdir, frames = run_train(overrides)
+    else:
+        logdir, frames = run_model(overrides)
     aggregate(logdir, frames)

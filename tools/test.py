@@ -72,10 +72,11 @@ def main():
         eval_motion=args.eval_motion,
     )
 
-    if "detection" in summary:
-        from hipad_tpu.eval.detection import format_detection_table
+    from hipad_tpu.eval.report import format_summary
 
-        print(format_detection_table(summary["detection"]))
+    tables = format_summary(summary)
+    if tables:
+        print(tables)
         print()
     print(json.dumps(summary, indent=2, default=float))
     if args.out:
