@@ -33,6 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set", action="append", default=[],
                     help="config overrides, e.g. --set decoder_remat=False")
+    ap.add_argument("--bs", type=int, default=1)
     args = ap.parse_args()
     overrides = {}
     for kv in args.set:
@@ -41,9 +42,10 @@ def main():
     cfg = stage2(**overrides)
     tx = optax.adamw(2e-4)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx,
-                                      batch_size=1)
-    batch = {k: jnp.asarray(v) for k, v in synthetic.make_batch(cfg, 1).items()}
-    banks = init_bank_states(cfg, 1, feature_dtype=jnp.bfloat16)
+                                      batch_size=args.bs)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(cfg, args.bs).items()}
+    banks = init_bank_states(cfg, args.bs, feature_dtype=jnp.bfloat16)
     step = jax.jit(make_train_step(cfg, model), donate_argnums=(0, 1))
 
     @jax.jit
@@ -71,9 +73,11 @@ def main():
         float(metrics["total_loss"])
         times.append(time.perf_counter() - t0)
     p50 = sorted(times)[len(times) // 2] - rtt
-    print(f"train step (bs=1): {p50*1e3:.1f} ms "
+    per = p50 / args.bs
+    print(f"train step (bs={args.bs}): {p50*1e3:.1f} ms, "
+          f"{per*1e3:.1f} ms/sample "
           f"(4090 baseline ~235 ms/sample-step; "
-          f"ratio {235.0/(p50*1e3):.2f}x)")
+          f"ratio {235.0/(per*1e3):.2f}x)")
 
 
 if __name__ == "__main__":

@@ -87,6 +87,50 @@ def segment_fmap_grad(feat_shape, cam, sy, sx, wy, wx, g_out):
     return jax.vmap(one)(cam, sy, sx, wy, wx, g_out)
 
 
+def dense_fmap_grad_wmajor(feat_shape, cam, sy, sx, wy, wx, g_out):
+    """_dense_fmap_grad with the accumulator kept in the matmul's native
+    W-major layout ([bs, W, R, C]) and ONE transpose at the end.
+
+    Hypothesis from the train-step device trace: the per-chunk einsum
+    "bpr,bpwc->brwc" emits f32[R,W,C]{2,0,1} (W-major) which XLA relayouts
+    into the [R,W,C] row-major accumulator every chunk (~5 ms x 12 chunks
+    per level-0 instance). Accumulating W-major should make the add free
+    and pay one 86 MB transpose per instance instead.
+    """
+    bs, cams, H, W, C = feat_shape
+    M = cam.shape[1]
+    R = cams * H
+    row = cam * H + sy
+    P = 2048
+    n = -(-M // P)
+    pad = n * P - M
+
+    def pad_chunks(a):
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+        a = jnp.pad(a, widths)
+        a = a.reshape((bs, n, P) + a.shape[2:])
+        return a.swapaxes(0, 1)
+
+    rr = jnp.arange(R)
+    cc = jnp.arange(W)
+    bf = g_out.dtype
+
+    def step(acc, ch):
+        row_c, sx_c, wy_c, wx_c, g_c = ch
+        w_row = (wy_c[..., 0:1] * (rr == row_c[..., None])
+                 + wy_c[..., 1:2] * (rr == row_c[..., None] + 1))
+        w_col = (wx_c[..., 0:1] * (cc == sx_c[..., None])
+                 + wx_c[..., 1:2] * (cc == sx_c[..., None] + 1))
+        v = (w_row[..., None] * g_c[:, :, None, :]).astype(bf)  # [b,P,R,C]
+        return acc + jnp.einsum("bpw,bprc->bwrc", w_col.astype(bf), v,
+                                preferred_element_type=jnp.float32), None
+
+    chunks = tuple(pad_chunks(a) for a in (row, sx, wy, wx, g_out))
+    acc0 = jnp.zeros((bs, W, R, C), jnp.float32)
+    g_acc, _ = jax.lax.scan(step, acc0, chunks)
+    return g_acc.transpose(0, 2, 1, 3).reshape(bs, cams, H, W, C)
+
+
 def make_inputs(rng, bs, cams, H, W, C, M, dtype=jnp.bfloat16, conc=False):
     ks = jax.random.split(rng, 6)
     if conc:
@@ -123,7 +167,10 @@ def parity(H=24, W=40, C=64, M=3000, conc=False):
     feat = jnp.zeros((1, 6, H, W, C), jnp.float32)
     ref = sampling._dense_fmap_grad(feat, cam, sy, sx, wy, wx, g)
     new = segment_fmap_grad(feat.shape, cam, sy, sx, wy, wx, g)
-    return float(jnp.abs(ref - new).max() / (jnp.abs(ref).max() + 1e-9))
+    wmaj = dense_fmap_grad_wmajor(feat.shape, cam, sy, sx, wy, wx, g)
+    scale = jnp.abs(ref).max() + 1e-9
+    return float(jnp.maximum(jnp.abs(ref - new).max(),
+                             jnp.abs(ref - wmaj).max()) / scale)
 
 
 def main():
@@ -148,8 +195,10 @@ def main():
         t_d = time_fn(dense, args_list)
         seg = jax.jit(functools.partial(segment_fmap_grad, feat_shape))
         t_s = time_fn(seg, args_list)
+        wmaj = jax.jit(functools.partial(dense_fmap_grad_wmajor, feat_shape))
+        t_w = time_fn(wmaj, args_list)
         print(f"level H={H} W={W} M={M}: dense={t_d*1e3:.1f} ms  "
-              f"segment={t_s*1e3:.1f} ms  ({t_d/t_s:.1f}x)")
+              f"segment={t_s*1e3:.1f} ms  wmajor={t_w*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -98,19 +98,33 @@ def aggregate(logdir, frames):
     events = trace.get("traceEvents", [])
     # device lanes: pid whose process_name mentions TPU/device
     proc_names = {}
+    thread_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             proc_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, n in proc_names.items()
                 if "TPU" in n or "/device" in n.lower() or "Device" in n}
+    # Only the leaf "XLA Ops" lanes: the Steps / XLA Modules / TensorFlow
+    # Name Scope lanes nest the same time again (a module event spans all
+    # its ops), which double-counts and buries the real hotspots.
+    op_lanes = {k for k, n in thread_names.items()
+                if k[0] in dev_pids and "XLA Ops" in n}
     by_op = defaultdict(float)
     total = 0.0
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_lanes:
             dur = e.get("dur", 0) / 1e3  # us -> ms
             name = e.get("name", "?")
             by_op[name] += dur
             total += dur
+    if not by_op:  # fall back to every device event (older trace format)
+        for e in events:
+            if e.get("ph") == "X" and e.get("pid") in dev_pids:
+                dur = e.get("dur", 0) / 1e3
+                by_op[e.get("name", "?")] += dur
+                total += dur
     if not by_op:
         print(f"device pids {dev_pids} had no X events; "
               f"processes: {list(proc_names.values())[:10]}")
