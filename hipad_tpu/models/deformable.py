@@ -120,8 +120,22 @@ class DeformableAggregation(nn.Module):
             inside = jnp.all((pts_cam > 0.0) & (pts_cam < 1.0), axis=-1)
             insw = jnp.transpose(inside, (0, 2, 1, 3))  # [bs, n, cams, P]
             wm = w * insw[:, :, :, None, :, None].astype(w.dtype)
-            imp = wm.sum(axis=(2, 3, 5))  # [bs, n, P]
-            _, pidx = jax.lax.top_k(imp, kp)
+            imp = wm.sum(axis=(2, 3, 5)).astype(jnp.float32)  # [bs, n, P]
+            # kp iterative argmaxes instead of lax.top_k: top_k lowers to a
+            # variadic sort, which is both slower (the camera top-k measured
+            # ~8 ms per call at stage-2 scale) and — at bs=2 on this stack —
+            # faulted the TPU worker (bench.py --bs 2 bisect; every other op
+            # in the serving program runs clean at bs=2). Selection set is
+            # identical: both pick lowest index on ties, and the one-hot
+            # consumers are order-invariant.
+            picks = []
+            score = imp
+            for _ in range(kp):
+                idx = jnp.argmax(score, axis=-1)  # [bs, n]
+                picks.append(idx)
+                score = score - 1e9 * jax.nn.one_hot(
+                    idx, num_pts, dtype=score.dtype)
+            pidx = jnp.stack(picks, axis=-1)  # [bs, n, kp]
             sel = jax.nn.one_hot(pidx, num_pts, dtype=w.dtype)  # [bs,n,kp,P]
             full = wm.sum(axis=4)  # [bs, n, cams, L, G]
             kept = jnp.einsum("bnkp,bnclpg->bnclg", sel, wm)
