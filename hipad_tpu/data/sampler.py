@@ -109,20 +109,35 @@ class TrainLoader:
     thread-pool prefetcher)."""
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
-                 num_workers: int = 0, prefetch: int = 2):
+                 num_workers: int = 0, prefetch: int = 2,
+                 rank: int = 0, world: int = 1):
+        """``batch_size`` is GLOBAL. Multi-host (``world > 1``): every host
+        builds the identically-seeded global sampler and loads only its
+        contiguous slot slice ``[rank*per_host, (rank+1)*per_host)`` — the
+        deterministic counterpart of the reference's per-DDP-rank slot shard
+        (`group_in_batch_sampler.py:123-171`), matching the process order
+        ``jax.make_array_from_process_local_data`` assembles shards in.
+        """
+        if batch_size % world:
+            raise ValueError(f"global batch {batch_size} % world {world} != 0")
         self.dataset = dataset
         self.sampler = GroupStreamSampler(
             dataset.flag, batch_size, seed=seed,
             data_aug_conf=dataset.data_aug_conf,
             keep_consistent_seq_aug=dataset.keep_consistent_seq_aug,
         )
+        per_host = batch_size // world
+        self._lo, self._hi = rank * per_host, (rank + 1) * per_host
         self.num_workers = num_workers
         self.prefetch = prefetch
+
+    def _local(self, reqs):
+        return reqs[self._lo:self._hi]
 
     def __iter__(self):
         if self.num_workers <= 0:
             for reqs in self.sampler:
-                yield collate([self.dataset[r] for r in reqs])
+                yield collate([self.dataset[r] for r in self._local(reqs)])
             return
         from concurrent.futures import ThreadPoolExecutor
 
@@ -130,10 +145,10 @@ class TrainLoader:
             pending = []
             it = iter(self.sampler)
             for _ in range(self.prefetch):
-                reqs = next(it)
+                reqs = self._local(next(it))
                 pending.append(pool.map(self.dataset.__getitem__, reqs))
             while True:
                 done = pending.pop(0)
-                reqs = next(it)
+                reqs = self._local(next(it))
                 pending.append(pool.map(self.dataset.__getitem__, reqs))
                 yield collate(list(done))

@@ -34,11 +34,40 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a pytree of [global_bs, ...] arrays batch-sharded on the mesh."""
+    """Place a batch pytree batch-sharded (axis 0) on the mesh.
+
+    Single-process: arrays are the [global_bs, ...] batch; ``device_put``
+    scatters them. Multi-process (``jax.distributed`` initialised, e.g.
+    ``tools/train.py --multihost``): each process passes its *local* shard
+    [global_bs / process_count, ...] — the host-local data-loader slice, the
+    counterpart of the reference's per-rank ``GroupInBatchSampler`` shards
+    (`datasets/samplers/group_in_batch_sampler.py:48-178`) — and the global
+    array is assembled without any cross-host copy
+    (``jax.make_array_from_process_local_data``; ``device_put`` cannot
+    target non-addressable devices).
+    """
     sh = batch_sharded(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    def _make(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree_util.tree_map(_make, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree onto every device of the mesh.
+
+    Multi-process: every process must hold the same host values (same seed /
+    same restored checkpoint — the reference's DDP has the identical
+    invariant); they become the replicated shards of one global array.
+    """
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x), np.shape(x)), tree)

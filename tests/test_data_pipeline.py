@@ -134,3 +134,35 @@ def test_collate_stacks():
     out = collate(frames)
     assert out["a"].shape == (2, 2, 3)
     assert out["s"] == ["x", "y"]
+
+
+def test_train_loader_rank_slices_partition_global_batch():
+    """Multi-host slot sharding (`tools/train.py --multihost`): every rank
+    builds the identically-seeded GLOBAL sampler and loads its contiguous
+    slot slice — ranks' batches concatenated in process order must equal the
+    single-process global batch (the reference's per-DDP-rank slot shard,
+    `group_in_batch_sampler.py:123-171`)."""
+    from hipad_tpu.data.sampler import TrainLoader
+
+    class FakeDataset:
+        flag = np.array([0] * 5 + [1] * 4 + [2] * 6)
+        data_aug_conf = None
+        keep_consistent_seq_aug = True
+
+        def __init__(self):
+            from hipad_tpu.data import pipelines as pp
+            self.data_aug_conf = pp.DATA_AUG_CONF
+
+        def __getitem__(self, req):
+            return {"idx": np.int32(req["idx"])}
+
+    def take(loader, n):
+        it = iter(loader)
+        return [next(it)["idx"] for _ in range(n)]
+
+    ds = FakeDataset()
+    glob = take(TrainLoader(ds, 4, seed=3), 6)
+    r0 = take(TrainLoader(ds, 4, seed=3, rank=0, world=2), 6)
+    r1 = take(TrainLoader(ds, 4, seed=3, rank=1, world=2), 6)
+    for g, a, b in zip(glob, r0, r1):
+        assert g.tolist() == a.tolist() + b.tolist()

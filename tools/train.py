@@ -91,11 +91,22 @@ def main():
         except Exception as e:  # first run
             print(f"no checkpoint to resume ({e})")
 
+    # --batch-size is GLOBAL; each process loads its own local shard
+    # (multihost: the reference's per-rank GroupInBatchSampler split).
+    n_proc = jax.process_count()
+    if args.batch_size % n_proc:
+        raise ValueError(f"--batch-size {args.batch_size} not divisible by "
+                         f"process_count {n_proc}")
+    local_bs = args.batch_size // n_proc
+    pid = jax.process_index()
+
     if args.synthetic:
         def batches():
             i = 0
             while True:
-                yield synthetic.make_batch(cfg, args.batch_size, seed=args.seed + i)
+                # distinct data per process: seed offset by (step, rank)
+                yield synthetic.make_batch(
+                    cfg, local_bs, seed=args.seed + i * n_proc + pid)
                 i += 1
         loader = batches()
     else:
@@ -108,7 +119,8 @@ def main():
             plan_anchor_types=cfg.plan_anchor_types,
         )
         loader = iter(TrainLoader(dataset, args.batch_size, seed=args.seed,
-                                  num_workers=min(args.batch_size, 8)))
+                                  num_workers=min(local_bs, 8),
+                                  rank=pid, world=n_proc))
 
     step_fn = jit_train_step(cfg, model, mesh)
     banks = None
@@ -124,7 +136,7 @@ def main():
         batch = mesh_lib.shard_batch(mesh, batch)
         rng, sub = jax.random.split(rng)
         state, banks, metrics = step_fn(state, banks, batch, sub)
-        if (it + 1) % args.log_interval == 0 or it == start:
+        if ((it + 1) % args.log_interval == 0 or it == start) and pid == 0:
             m = {k: float(v) for k, v in metrics.items()}
             m.update(iter=it + 1, time=round(time.time() - t0, 1),
                      ips=round((it + 1 - start) / (time.time() - t0), 3))
