@@ -38,9 +38,15 @@ def main():
     p.add_argument("--eval-det", action="store_true")
     p.add_argument("--eval-map", action="store_true")
     p.add_argument("--eval-motion", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform (the JAX_PLATFORMS env var "
+                        "does not override an installed TPU plugin)")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 

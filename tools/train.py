@@ -47,7 +47,16 @@ def main():
     p.add_argument("--tiny", action="store_true", help="tiny config (CI)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() for TPU pods")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the jax platform (the JAX_PLATFORMS env var "
+                        "does not override an installed TPU plugin; this "
+                        "uses the config API before backend init)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.multihost:
         import jax
