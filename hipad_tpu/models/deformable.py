@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import project_points
-from ..ops.sampling import deformable_aggregation, deformable_aggregation_topk
+from ..ops.sampling import (deformable_aggregation,
+                            deformable_aggregation_topk, topk_by_argmax)
 from .common import MLPLN
 from .keypoints import BoxKeypoints, PointKeypoints
 
@@ -121,21 +122,9 @@ class DeformableAggregation(nn.Module):
             insw = jnp.transpose(inside, (0, 2, 1, 3))  # [bs, n, cams, P]
             wm = w * insw[:, :, :, None, :, None].astype(w.dtype)
             imp = wm.sum(axis=(2, 3, 5)).astype(jnp.float32)  # [bs, n, P]
-            # kp iterative argmaxes instead of lax.top_k: top_k lowers to a
-            # variadic sort, which is both slower (the camera top-k measured
-            # ~8 ms per call at stage-2 scale) and — at bs=2 on this stack —
-            # faulted the TPU worker (bench.py --bs 2 bisect; every other op
-            # in the serving program runs clean at bs=2). Selection set is
-            # identical: both pick lowest index on ties, and the one-hot
-            # consumers are order-invariant.
-            picks = []
-            score = imp
-            for _ in range(kp):
-                idx = jnp.argmax(score, axis=-1)  # [bs, n]
-                picks.append(idx)
-                score = score - 1e9 * jax.nn.one_hot(
-                    idx, num_pts, dtype=score.dtype)
-            pidx = jnp.stack(picks, axis=-1)  # [bs, n, kp]
+            # NOT lax.top_k (variadic sort: ~8 ms/call at stage-2 scale and
+            # faulted the TPU worker at bs=2 — see topk_by_argmax docstring)
+            pidx = topk_by_argmax(imp, kp)  # [bs, n, kp]
             sel = jax.nn.one_hot(pidx, num_pts, dtype=w.dtype)  # [bs,n,kp,P]
             full = wm.sum(axis=4)  # [bs, n, cams, L, G]
             kept = jnp.einsum("bnkp,bnclpg->bnclg", sel, wm)

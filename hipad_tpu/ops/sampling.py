@@ -34,6 +34,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def topk_by_argmax(score: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the ``k`` largest entries along the last axis, via ``k``
+    iterative argmaxes (ties -> lowest index).
+
+    Deliberately NOT ``lax.top_k``: on this backend top_k lowers to a
+    variadic sort that measured ~8 ms per call at stage-2 scale
+    (tools/microbench_sampler_stages.py) and faulted the TPU worker at bs=2
+    (bench.py --bs 2 bisect). argmax+mask is pure VPU work, and for the
+    order-invariant one-hot consumers in this module the selection set is
+    identical.
+    """
+    n = score.shape[-1]
+    picks = []
+    for _ in range(k):
+        idx = jnp.argmax(score, axis=-1)
+        picks.append(idx)
+        score = jnp.where(jax.nn.one_hot(idx, n, dtype=score.dtype) > 0,
+                          -jnp.inf, score)
+    return jnp.stack(picks, axis=-1)
+
+
 def deformable_aggregation(
     feature_maps: Sequence[jnp.ndarray],
     points_2d: jnp.ndarray,
@@ -680,17 +701,8 @@ def deformable_samples_topk_flat(
     cam_k = min(cam_k, num_cams)
 
     inside = jnp.all((points_2d > 0.0) & (points_2d < 1.0), axis=-1)  # [b,M0,c]
-    # rank cameras by in-bounds-ness (ties -> lowest camera index) with
-    # k iterative argmaxes — lax.top_k lowers to a variadic sort that
-    # costs ~8 ms per call at stage-2 scale (measured,
-    # tools/microbench_sampler_stages.py); argmax+mask is pure VPU.
-    score = inside.astype(jnp.float32)
-    picks = []
-    for _ in range(cam_k):
-        idx = jnp.argmax(score, axis=-1)  # first max -> lowest cam index
-        picks.append(idx)
-        score = score - 2.0 * jax.nn.one_hot(idx, num_cams, dtype=score.dtype)
-    cam_idx = jnp.stack(picks, axis=-1)  # [b, M0, k]
+    # rank cameras by in-bounds-ness (ties -> lowest camera index)
+    cam_idx = topk_by_argmax(inside.astype(jnp.float32), cam_k)  # [b, M0, k]
 
     # Camera selection via one-hot einsums, NOT take_along_axis: the VJP of a
     # gather is a scatter, and XLA:TPU scatters cost ~10 us per row — one
@@ -848,7 +860,7 @@ def deformable_aggregation_topk(
         inside = jnp.all((points_2d > 0.0) & (points_2d < 1.0), axis=-1)
         wm = weights * inside[..., None, None].astype(weights.dtype)
         imp = wm.sum(axis=(-3, -2, -1))  # [bs, A, P]
-        _, pidx = jax.lax.top_k(imp, point_k)  # [bs, A, kp]
+        pidx = topk_by_argmax(imp.astype(jnp.float32), point_k)  # [bs, A, kp]
         sel = jax.nn.one_hot(pidx, num_pts, dtype=weights.dtype)
         points_2d = jnp.einsum(
             "bakp,bapcd->bakcd", sel.astype(points_2d.dtype), points_2d)
