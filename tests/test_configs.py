@@ -1,0 +1,58 @@
+"""Named config factories build and carry the reference's structural
+constants (`projects/configs/hipad_b2d_stage{1,2}.py`).
+
+Pure-host test (no jit): every named config must construct — `__post_init__`
+runs all cross-field validations — and expose the documented query budget /
+task structure. Guards against a refactor silently breaking a config nobody
+benches on CPU (the r101 stress config only ever runs on the TPU).
+"""
+
+import numpy as np
+
+from hipad_tpu.configs import model as cfgs
+
+
+def test_stage2_structure():
+    c = cfgs.stage2()
+    # stage-2 query budget (`hipad_b2d_stage2.py:24-55`): det 900 + map 100
+    # + plan 480 (10 groups x 48) + ego 1
+    assert c.num_det_anchor == 900 and c.num_map_anchor == 100
+    assert c.plan_anchor_group * c.ego_fut_cmd * c.num_temp_plan_mode == 480
+    assert len(c.plan_anchor_types) == 10
+    assert c.operation_order.count("refine") == 6
+    assert set(c.task_select) == {"det", "map", "motion", "ego", "plan"}
+    assert c.det_anchor.shape[0] == 900
+    assert c.map_anchor.shape[0] == 100
+
+
+def test_stage1_differences():
+    c = cfgs.stage1()
+    # stage 1 (`hipad_b2d_stage1.py:67,85-87`): no motion task, single plan
+    # anchor type ("temp","2hz")
+    assert "motion" not in c.task_select
+    assert list(c.plan_anchor_types) == [("temp", "2hz")]
+
+
+def test_serving_is_stage2_plus_latency_knobs():
+    base, srv = cfgs.stage2(), cfgs.stage2_serving()
+    assert srv.sampler_point_frac < 1.0 < base.sampler_point_frac + 1e-9
+    # everything structural matches stage2 (same weights must load)
+    assert srv.num_det_anchor == base.num_det_anchor
+    assert srv.plan_anchor_types == base.plan_anchor_types
+    assert srv.sampler_cam_k == base.sampler_cam_k
+
+
+def test_r101_2x_stress_config():
+    c = cfgs.stage2_r101_2x()
+    # BASELINE.json configs[4]: ResNet101 stage blocks, 2x input resolution
+    assert tuple(c.backbone_stage_blocks) == (3, 4, 23, 3)
+    assert tuple(c.input_size) == (704, 1280)
+    # decoder structure unchanged vs stage2 (same heads/queries)
+    base = cfgs.stage2()
+    assert c.num_det_anchor == base.num_det_anchor and c.num_map_anchor == base.num_map_anchor
+
+
+def test_tiny_builds():
+    c = cfgs.tiny()
+    assert c.num_det_anchor > 0
+    assert np.isfinite(c.det_anchor).all()
