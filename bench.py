@@ -138,5 +138,8 @@ if __name__ == "__main__":
     overrides = {}
     for kv in args.set:
         k, v = kv.split("=", 1)
-        overrides[k] = _ast.literal_eval(v)
+        try:
+            overrides[k] = _ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v  # bare strings, e.g. --set sampler=zero
     main(sync=args.sync, bs=args.bs, config=args.config, **overrides)

@@ -67,7 +67,15 @@ class GroupedCrossAttention(nn.Module):
         key_sections: Optional[Sections] = None,
         attn_bias: Optional[Dict[int, jnp.ndarray]] = None,
         deterministic: bool = True,
+        has_value: bool = True,
     ) -> jnp.ndarray:
+        """``has_value`` mirrors whether the reference call site passes a
+        ``value`` tensor. The temporal flavour passes ``value=None`` on the
+        first frame (and a group's sliced value is empty whenever its key
+        slice is), in which case `MultiheadFlashAttention` substitutes
+        value = key — for a DECOUPLED group that is the feature‖pos-embed
+        CONCAT, bypassing ``fc_before``
+        (`separate_attn.py:272-291` + `attention.py:251-254`)."""
         out = query
         self_attend_all = key_x is None
         if self_attend_all:
@@ -77,6 +85,7 @@ class GroupedCrossAttention(nn.Module):
             q = _gather(query, q_names, sections)
             qp = _gather(query_pos, q_names, sections)
             num_keys = sum(key_sections[m][1] - key_sections[m][0] for m in k_names)
+            group_has_value = has_value and num_keys > 0
             if num_keys == 0:
                 k, kp, v = q, qp, q  # degenerate self-attention
             else:
@@ -94,10 +103,12 @@ class GroupedCrossAttention(nn.Module):
             )
             bias = attn_bias.get(gi) if attn_bias and num_keys else None
             if decoupled:
+                k_cat = jnp.concatenate([k, kp], axis=-1)
+                v_in = fc_before(v) if group_has_value else k_cat
                 res = attn(
                     jnp.concatenate([q, qp], axis=-1),
-                    key=jnp.concatenate([k, kp], axis=-1),
-                    value=fc_before(v),
+                    key=k_cat,
+                    value=v_in,
                     attn_bias=bias,
                     deterministic=deterministic,
                 )

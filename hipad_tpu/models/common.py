@@ -20,7 +20,10 @@ class MLPLN(nn.Module):
     """[Linear, ReLU] * in_loops followed by LayerNorm, repeated out_loops.
 
     Equivalent to the reference ``linear_relu_ln(embed_dims, in_loops,
-    out_loops, input_dims)``.
+    out_loops, input_dims)``. LayerNorms here (and everywhere in the model)
+    use epsilon=1e-5 to match torch's default — flax's 1e-6 costs ~1e-4
+    output error per LN stack against a converted checkpoint
+    (tests/test_convert_numeric.py).
     """
 
     embed_dims: int
@@ -34,7 +37,7 @@ class MLPLN(nn.Module):
             for i in range(self.in_loops):
                 x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc_{o}_{i}")(x)
                 x = nn.relu(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"ln_{o}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln_{o}")(x)
         return x
 
 
@@ -158,7 +161,7 @@ class AsymmetricFFN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         if self.pre_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(x)
         identity = x
         out = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="fc1")(x)
         out = nn.relu(out)

@@ -63,13 +63,16 @@ class FrontViewEncoder(nn.Module):
         x = nn.Conv(self.embed_dims, (3, 3), strides=(2, 2), padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(bn("bn2")(x))
-        # AvgPool with the config-derived kernel; the reference then squeezes
-        # an exactly-1x1 map — we take the first window, identical for the
-        # shipped geometry.
-        h, w = x.shape[1:3]
-        kh, kw = max(1, min(h, (fmap.shape[1] + 1) // 2)), max(1, min(w, (fmap.shape[2] + 1) // 2))
-        x = nn.avg_pool(x, (kh, kw), strides=(kh, kw))
-        return x[:, 0, 0, :]  # [bs, C]
+        # The reference pools with kernel = feature_map_scale // 2 computed
+        # from the PRE-conv stride-32 dims (ego/instance_bank.py:45,74 with
+        # config feature_map_scale=(W/32, H/32)) and squeezes the resulting
+        # 1x1 map — for odd dims the torch AvgPool's single window DROPS the
+        # trailing row/col (e.g. stage-2: kernel (5,10) over the 6x10
+        # post-conv map averages rows 0..4 only). Take the identical first
+        # window.
+        kh = max(1, min(x.shape[1], fmap.shape[1] // 2))
+        kw = max(1, min(x.shape[2], fmap.shape[2] // 2))
+        return jnp.mean(x[:, :kh, :kw, :], axis=(1, 2))  # [bs, C]
 
 
 class SparseOneDecoder(nn.Module):
@@ -325,7 +328,8 @@ class SparseOneDecoder(nn.Module):
                 )(joint_feat, joint_embed, cur_sections, fc_before, fc_after,
                   key_x=temp_joint_feat if has_temp else None,
                   key_pos=temp_joint_embed if has_temp else None,
-                  key_sections=temp_sections, deterministic=det)
+                  key_sections=temp_sections, deterministic=det,
+                  has_value=has_temp)
 
             elif op == "inter_gnn":
                 inter_bias = None
@@ -358,7 +362,7 @@ class SparseOneDecoder(nn.Module):
                   deterministic=det)
 
             elif op == "norm":
-                joint_feat = nn.LayerNorm(dtype=self.dtype, name=f"norm_{op_idx}")(joint_feat)
+                joint_feat = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_{op_idx}")(joint_feat)
                 norm_i += 1
 
             elif op == "ffn":

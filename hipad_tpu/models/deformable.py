@@ -78,7 +78,17 @@ class DeformableAggregation(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """-> (points_2d [bs, n, P, cams, 2], weights [bs, n, P, cams, L, G])."""
         bs, n = instance_feature.shape[:2]
-        key_points = self.kps(anchor, instance_feature)  # [bs, n, P, 3]
+        # The reference invokes the generator positionally as
+        # ``kps_generator(anchor, anchor_embed, instance_feature)``
+        # (`blocks.py:134`). The Box3D generator's signature is
+        # ``(anchor, instance_feature=None, ...)`` (det/blocks.py:183-188),
+        # so its learnable offsets are a function of the ANCHOR EMBED; the
+        # Point3D generator binds both names and — with the shipped
+        # ``with_anchor_embed=False`` — reads the true instance feature
+        # (map/blocks.py:173-204). Match that per generator type so a
+        # converted checkpoint drives the same offsets.
+        kps_in = anchor_embed if isinstance(self.kps, BoxKeypoints) else instance_feature
+        key_points = self.kps(anchor, kps_in)  # [bs, n, P, 3]
         num_pts = key_points.shape[2]
 
         # camera-conditioned sampling weights (`blocks.py:178-214`)

@@ -16,9 +16,14 @@ from ..core.geometry import yaw_rotation_2d
 class BoxKeypoints(nn.Module):
     """Box-frame scale points (`models/det/blocks.py:159-224`).
 
-    ``fix_scale`` points plus learnable offsets (sigmoid-0.5 of a linear head
-    on the instance feature), scaled by the box size, rotated by yaw and
-    translated to the box centre.
+    ``fix_scale`` points plus learnable offsets (sigmoid-0.5 of a linear
+    head), scaled by the box size, rotated by yaw and translated to the box
+    centre. The offsets input is the ANCHOR EMBED, not the instance feature:
+    the reference calls ``kps_generator(anchor, anchor_embed,
+    instance_feature)`` positionally (`blocks.py:134`) and the Box3D
+    generator's second parameter is its ``instance_feature`` slot
+    (det/blocks.py:183-188) — the deformable module passes the matching
+    tensor (see ``DeformableAggregation.prepare``).
     """
 
     spec: KeypointSpec

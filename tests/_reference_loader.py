@@ -83,7 +83,8 @@ def _install_stubs():
     class Scale(nn.Module):
         def __init__(self, scale=1.0):
             super().__init__()
-            self.scale = nn.Parameter(torch.tensor(float(scale)))
+            # mmcv.cnn.Scale accepts a scalar or a per-channel list
+            self.scale = nn.Parameter(torch.tensor(scale, dtype=torch.float32))
 
         def forward(self, x):
             return x * self.scale
@@ -105,9 +106,26 @@ def _install_stubs():
             out = self.layers(x)
             return out + (x if identity is None else identity)
 
+    def deprecated_api_warning(name_dict, cls_name=None):
+        def deco(fn):
+            return fn
+
+        return deco
+
+    def _fp_decorator(*dargs, **dkwargs):
+        # mmcv auto_fp16/force_fp32: precision management is a no-op on CPU
+        if dargs and callable(dargs[0]):
+            return dargs[0]
+
+        def deco(fn):
+            return fn
+
+        return deco
+
     mmcv = _module("mmcv")
     mmcv._hipad_stub = True
-    _module("mmcv.utils", build_from_cfg=build_from_cfg)
+    _module("mmcv.utils", build_from_cfg=build_from_cfg,
+            deprecated_api_warning=deprecated_api_warning)
     _module(
         "mmcv.cnn",
         Linear=nn.Linear, Scale=Scale,
@@ -119,23 +137,46 @@ def _install_stubs():
     _module("mmcv.cnn.bricks")
     _module("mmcv.cnn.bricks.transformer", FFN=FFN)
     _module("mmcv.cnn.bricks.drop", build_dropout=build_dropout)
+    NORM_LAYERS = _Registry()
+    # torch LayerNorm (eps=1e-5) is what mmcv builds for type="LN"
+    NORM_LAYERS.modules["LN"] = nn.LayerNorm
     _module(
         "mmcv.cnn.bricks.registry",
         ATTENTION=_Registry(), PLUGIN_LAYERS=_Registry(),
         FEEDFORWARD_NETWORK=_Registry(), POSITIONAL_ENCODING=_Registry(),
-        NORM_LAYERS=_Registry(),
+        NORM_LAYERS=NORM_LAYERS,
     )
-    _module("mmcv.runner")
-    _module("mmcv.runner.base_module", BaseModule=nn.Module,
+    class BaseModule(nn.Module):
+        # mmcv BaseModule takes an optional init_cfg positional
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    _module("mmcv.runner", BaseModule=BaseModule, auto_fp16=_fp_decorator,
+            force_fp32=_fp_decorator)
+    _module("mmcv.runner.base_module", BaseModule=BaseModule,
             Sequential=nn.Sequential)
 
+    HEADS, LOSSES = _Registry(), _Registry()
     _module("mmdet")
-    _module("mmdet.core")
+    _module("mmdet.core", reduce_mean=lambda x: x)
     _module("mmdet.core.bbox")
-    _module("mmdet.core.bbox.builder", BBOX_CODERS=_Registry())
-    _module("mmdet.models")
-    _module("mmdet.models.builder", BACKBONES=_Registry(), HEADS=_Registry(),
-            NECKS=_Registry(), LOSSES=_Registry())
+    _module("mmdet.core.bbox.builder", BBOX_CODERS=_Registry(),
+            BBOX_SAMPLERS=_Registry())
+    _module("mmdet.models", HEADS=HEADS, LOSSES=LOSSES)
+    _module("mmdet.models.builder", BACKBONES=_Registry(), HEADS=HEADS,
+            NECKS=_Registry(), LOSSES=LOSSES)
+
+    # flash_attn is CUDA-only; the kernels are replaced with exact CPU
+    # attention by load_onedecoder() below, so the symbols just need to exist.
+    def _no_flash(*a, **k):
+        raise RuntimeError("flash_attn stub: CPU tests must patch FlashAttention")
+
+    _module("flash_attn")
+    _module("flash_attn.flash_attn_interface",
+            flash_attn_unpadded_kvpacked_func=_no_flash,
+            flash_attn_varlen_kvpacked_func=_no_flash)
+    _module("flash_attn.bert_padding", unpad_input=_no_flash,
+            pad_input=_no_flash, index_first_axis=_no_flash)
 
     if "cv2" not in sys.modules:
         cv2 = _module("cv2")
@@ -172,10 +213,33 @@ def _install_stubs():
         "projects.mmdet3d_plugin.models", "projects.mmdet3d_plugin.models.det",
         "projects.mmdet3d_plugin.models.map",
         "projects.mmdet3d_plugin.models.plan",
+        "projects.mmdet3d_plugin.models.ego",
+        "projects.mmdet3d_plugin.models.motion",
         "projects.mmdet3d_plugin.datasets",
     ):
         if name not in sys.modules:
             _package(name)
+
+    def feature_maps_format(feature_maps, inverse=False):
+        """Stand-in for `ops/__init__.py:feature_maps_format`: CPU tests keep
+        feature maps in list-of-levels [bs, cams, C, H, W] form (the
+        use_deformable_func=False layout), so the forward format is identity
+        and the inverse just wraps the list in the single uniform-camera
+        group the banks index as `[0][-1][:, 0]` (front cam, last level)."""
+        if inverse:
+            return [list(feature_maps)]
+        return feature_maps
+
+    if "projects.mmdet3d_plugin.ops" not in sys.modules:
+        _module("projects.mmdet3d_plugin.ops",
+                feature_maps_format=feature_maps_format,
+                deformable_aggregation_function=None)
+
+    # plan/instance_bank.py imports VectorizeMapNumpy but never uses it
+    if "projects.mmdet3d_plugin.datasets.pipelines" not in sys.modules:
+        _package("projects.mmdet3d_plugin.datasets.pipelines")
+        _module("projects.mmdet3d_plugin.datasets.pipelines.vectorize_numpy",
+                VectorizeMapNumpy=None)
 
 
 def _load(fullname: str, relpath: str):
@@ -208,6 +272,11 @@ def load() -> types.SimpleNamespace:
     blocks = _load(f"{p}.models.blocks", "models/blocks.py")
     det_blocks = _load(f"{p}.models.det.blocks", "models/det/blocks.py")
     det_decoder = _load(f"{p}.models.det.decoder", "models/det/decoder.py")
+    _load(f"{p}.models.utils", "models/utils.py")  # nerf_positional_encoding
+    map_blocks = _load(f"{p}.models.map.blocks", "models/map/blocks.py")
+    plan_blocks = _load(f"{p}.models.plan.blocks", "models/plan/blocks.py")
+    ego_blocks = _load(f"{p}.models.ego.blocks", "models/ego/blocks.py")
+    motion_blocks = _load(f"{p}.models.motion.blocks", "models/motion/blocks.py")
     plan_decoder = _load(f"{p}.models.plan.decoder", "models/plan/decoder.py")
     instance_bank = _load(f"{p}.models.instance_bank", "models/instance_bank.py")
     eval_utils = _load(f"{p}.datasets.bench2drive_eval_utils",
@@ -215,6 +284,49 @@ def load() -> types.SimpleNamespace:
     return types.SimpleNamespace(
         torch=torch, box3d=box3d, utils=utils, blocks=blocks,
         det_blocks=det_blocks, det_decoder=det_decoder,
+        map_blocks=map_blocks, plan_blocks=plan_blocks,
+        ego_blocks=ego_blocks, motion_blocks=motion_blocks,
         plan_decoder=plan_decoder, instance_bank=instance_bank,
         eval_utils=eval_utils,
     )
+
+
+def load_onedecoder() -> types.SimpleNamespace:
+    """`load()` plus the full reference `SparseOneDecoder` stack (attention,
+    separate attentions, ego/plan banks, the 1606-line unified decoder),
+    runnable on CPU: the flash-attn kernel inside `FlashMHA` is replaced with
+    exact softmax attention (flash attention is numerically exact attention,
+    so this preserves reference semantics bit-for-fp32-bit up to reduction
+    order)."""
+    import math
+
+    ns = load()
+    torch = ns.torch
+    p = "projects.mmdet3d_plugin"
+
+    attention = _load(f"{p}.models.attention", "models/attention.py")
+
+    def _cpu_exact_attention(self, q, kv, causal=False, key_padding_mask=None):
+        # reference semantics: softmax(q k^T / sqrt(d)) v  (attention.py:52-99);
+        # dropout_p only applies in training, and parity runs in eval mode.
+        assert not causal and key_padding_mask is None
+        k, v = kv[:, :, 0], kv[:, :, 1]  # [B, S, H, D]
+        scale = self.softmax_scale or 1.0 / math.sqrt(q.shape[-1])
+        logits = torch.einsum("bthd,bshd->bhts", q.float(), k.float()) * scale
+        w = torch.softmax(logits, dim=-1)
+        out = torch.einsum("bhts,bshd->bthd", w, v.float())
+        return out, w
+
+    attention.FlashAttention.forward = _cpu_exact_attention
+
+    separate_attn = _load(f"{p}.models.separate_attn", "models/separate_attn.py")
+    ego_bank = _load(f"{p}.models.ego.instance_bank", "models/ego/instance_bank.py")
+    plan_bank = _load(f"{p}.models.plan.instance_bank", "models/plan/instance_bank.py")
+    onedecoder = _load(f"{p}.models.sparse_onedecoder", "models/sparse_onedecoder.py")
+
+    ns.attention = attention
+    ns.separate_attn = separate_attn
+    ns.ego_bank = ego_bank
+    ns.plan_bank = plan_bank
+    ns.onedecoder = onedecoder
+    return ns
