@@ -6,7 +6,10 @@ hipad_b2d_agent.py:161-837`) minus the model/PID logic, which lives in
 (the Bench2Drive evaluation machines); everything above this file runs
 without them.
 
-Config string (leaderboard convention): "<orbax_ckpt_dir>+<save_name>".
+Config string (leaderboard convention, `hipad_b2d_agent.py:247-252`):
+"<orbax_ckpt_dir>+<save_name>" — plus optional "key=value" segments this
+framework adds, currently "config=<factory>" selecting a named config from
+``configs.model`` (default "stage2").
 """
 
 from __future__ import annotations
@@ -65,25 +68,39 @@ except ImportError:
 
 
 class HiPADTpuAgent(autonomous_agent.AutonomousAgent):
+    def _make_config(self, name: str):
+        """Resolve a named config factory; overridable by test harnesses."""
+        from ..configs import model as config_registry
+
+        factory = getattr(config_registry, name, None)
+        if not callable(factory):
+            raise ValueError(f"unknown config factory {name!r}")
+        return factory()
+
+    def _agent_core_kwargs(self) -> dict:
+        """Extra ``AgentCore`` kwargs; overridable by test harnesses."""
+        return {}
+
     def setup(self, path_to_conf_file):
         import jax
 
-        from ..configs.model import stage2
         from ..train import checkpoint, optim
         from ..train.train_step import create_train_state
 
         self.track = autonomous_agent.Track.SENSORS
-        parts = path_to_conf_file.split("+")
+        parts = (path_to_conf_file or "").split("+")
         ckpt_dir = parts[0]
-        self.save_name = parts[-1] if len(parts) > 1 else "hipad_tpu"
+        opts = dict(p.split("=", 1) for p in parts[1:] if "=" in p)
+        names = [p for p in parts[1:] if p and "=" not in p]
+        self.save_name = names[-1] if names else "hipad_tpu"
 
-        cfg = stage2()
+        cfg = self._make_config(opts.get("config", "stage2"))
         tx = optim.make_optimizer(total_steps=1)
         _, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
         if ckpt_dir and os.path.isdir(ckpt_dir):
             state = checkpoint.load_params_only(ckpt_dir, state)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        self.core = AgentCore(cfg, variables)
+        self.core = AgentCore(cfg, variables, **self._agent_core_kwargs())
         self._route_planner = None
         self.save_path = Path(os.environ.get("SAVE_PATH", ".")) / self.save_name
         self.save_path.mkdir(parents=True, exist_ok=True)

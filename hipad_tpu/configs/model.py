@@ -264,18 +264,23 @@ class HiPADConfig:
                 )
             if any(k < 1 for k in self.topk_mode_list):
                 raise ValueError("topk_mode_list entries must be >= 1")
-            last_live = (len(self.plan_anchor_types) * self.ego_fut_cmd
-                         * self.topk_mode_list[n_refine - 1])
-            need = (len(self.plan_anchor_types) * self.ego_fut_cmd
-                    * self.num_temp_plan_mode)
-            if last_live < need:
+            # The decoder pools modes per anchor-type GROUP (cmd folded into
+            # the pooled axis) and pads the pruned tail, while
+            # plan_bank_cache top-ks per (group x cmd) sub-block of
+            # ego_fut_mode slots — so the LAST cmd sub-block only sees
+            # k_last - (cmd-1)*ego_fut_mode live entries and must still
+            # cover num_temp_plan_mode of them.
+            k_last = self.topk_mode_list[n_refine - 1]
+            need = ((self.ego_fut_cmd - 1) * self.ego_fut_mode
+                    + self.num_temp_plan_mode)
+            if k_last < need:
                 raise ValueError(
                     "with_topk_mode: the last layer keeps "
-                    f"{self.topk_mode_list[n_refine - 1]} modes/group "
-                    f"({last_live} live plan queries) but the plan bank "
-                    f"caches num_temp_plan_mode={self.num_temp_plan_mode} "
-                    f"per group ({need}) — padded zero-confidence slots "
-                    "would become temporal instances"
+                    f"{k_last} modes/group but the plan bank caches "
+                    f"num_temp_plan_mode={self.num_temp_plan_mode} per "
+                    f"(group x cmd) sub-block (needs k_last >= {need} for "
+                    f"ego_fut_cmd={self.ego_fut_cmd}) — padded "
+                    "zero-confidence slots would become temporal instances"
                 )
         if (self.with_concat_map_points or self.with_concat_plan_points) and (
                 self.with_distance_attn_mask or self.with_velocity_attn_mask):

@@ -152,13 +152,13 @@ def loss_map(cfg: HiPADConfig, map_out: Dict, data: Dict):
     losses = {"map_loss_cls": 0.0, "map_loss_line": 0.0}
     L = map_out["classification"].shape[0]
     bs = map_out["classification"].shape[1]
-    costs = [map_tgt.map_cost(map_out["classification"][i],
-                              map_out["prediction"][i],
-                              data["gt_map_labels"], data["gt_map_pts"],
-                              cfg.map_roi_size)[0]
-             for i in range(L)]
+    cost_perm = [map_tgt.map_cost(map_out["classification"][i],
+                                  map_out["prediction"][i],
+                                  data["gt_map_labels"], data["gt_map_pts"],
+                                  cfg.map_roi_size)
+                 for i in range(L)]
     col_all = matching.assign(
-        jnp.concatenate(costs, axis=0),
+        jnp.concatenate([c for c, _ in cost_perm], axis=0),
         jnp.concatenate([data["gt_map_valid"]] * L, axis=0))
     for i in range(L):
         cls = map_out["classification"][i]
@@ -167,6 +167,7 @@ def loss_map(cfg: HiPADConfig, map_out: Dict, data: Dict):
             cls, reg, data["gt_map_labels"], data["gt_map_pts"],
             data["gt_map_valid"], cfg.num_map_classes, cfg.map_roi_size,
             col4gt=col_all[i * bs:(i + 1) * bs],
+            perm_idx=cost_perm[i][1],
         )
         out = _det_map_layer_loss(
             cls, reg, None, cls_t, pts_t, rw, cfg, cfg.num_map_classes,

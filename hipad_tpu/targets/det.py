@@ -51,6 +51,32 @@ def focal_cls_cost(
     return jnp.transpose(cost, (0, 2, 1)) * weight
 
 
+def det_encodings(
+    gt_labels: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GT box encodings + per-instance reg weights — the scatter inputs.
+
+    Split out so :func:`det_target` with a precomputed assignment never
+    rebuilds the [bs, G, P, D] cost intermediates.
+
+    Returns: enc [bs, G, D], inst_w [bs, G, D].
+    """
+    enc_raw = encode_box(gt_boxes)  # [bs, G, D] (D=10 for 9-dim decoded GT)
+    D = enc_raw.shape[-1]
+    enc = jnp.nan_to_num(enc_raw, nan=0.0, posinf=0.0, neginf=0.0)
+
+    # Per-instance reg weights: NaN components get 0, traffic cones get their
+    # class-specific override (`det/target.py:80-92`) in the 10-dim loss
+    # layout [x y z w l h sin cos vx vy].
+    nan_w = jnp.where(jnp.isnan(enc_raw), 0.0, 1.0)
+    cone_w = jnp.asarray(CONE_REG_WEIGHTS[:D], jnp.float32)
+    inst_w = jnp.where(
+        (gt_labels == CONE_CLASS_ID)[..., None], cone_w[None, None], nan_w
+    )  # [bs, G, D]
+    return enc, inst_w
+
+
 def det_cost(
     cls_pred: jnp.ndarray,
     box_pred: jnp.ndarray,
@@ -67,19 +93,8 @@ def det_cost(
 
     Returns: cost [bs, G, P], enc [bs, G, D], inst_w [bs, G, D].
     """
-    enc_raw = encode_box(gt_boxes)  # [bs, G, D] (D=10 for 9-dim decoded GT)
-    D = enc_raw.shape[-1]
-    enc = jnp.nan_to_num(enc_raw, nan=0.0, posinf=0.0, neginf=0.0)
-
-    # Per-instance reg weights: NaN components get 0, traffic cones get their
-    # class-specific override (`det/target.py:80-92`) in the 10-dim loss
-    # layout [x y z w l h sin cos vx vy].
-    nan_w = jnp.where(jnp.isnan(enc_raw), 0.0, 1.0)
-    cone_w = jnp.asarray(CONE_REG_WEIGHTS[:D], jnp.float32)
-    inst_w = jnp.where(
-        (gt_labels == CONE_CLASS_ID)[..., None], cone_w[None, None], nan_w
-    )  # [bs, G, D]
-
+    enc, inst_w = det_encodings(gt_labels, gt_boxes)
+    D = enc.shape[-1]
     match_w = jnp.asarray(MATCH_REG_WEIGHTS[:D], jnp.float32)
     diff = jnp.abs(box_pred[:, None, :, :D] - enc[:, :, None, :])  # [bs,G,P,D]
     box_cost = jnp.sum(diff * inst_w[:, :, None, :] * match_w, axis=-1) * BOX_COST_WEIGHT
@@ -118,10 +133,15 @@ def det_target(
     """
     bs, P, _ = cls_pred.shape
     G = gt_labels.shape[1]
-    cost, enc, inst_w = det_cost(cls_pred, box_pred, gt_labels, gt_boxes)
-    D = enc.shape[-1]
     if col4gt is None:
+        cost, enc, inst_w = det_cost(cls_pred, box_pred, gt_labels, gt_boxes)
         col4gt = matching.assign(cost, gt_mask)  # [bs, G]
+    else:
+        # layer-batched path: the cost was already built (and solved) by the
+        # caller — don't re-trace the [bs, G, P, D] intermediates and bet on
+        # XLA CSE to merge them
+        enc, inst_w = det_encodings(gt_labels, gt_boxes)
+    D = enc.shape[-1]
 
     safe_col = jnp.where(col4gt >= 0, col4gt, P)  # P = drop
     cls_target = jnp.full((bs, P), num_cls, jnp.int32)

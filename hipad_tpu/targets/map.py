@@ -75,6 +75,7 @@ def map_target(
     num_cls: int,
     roi_size: Tuple[float, float],
     col4gt: jnp.ndarray = None,
+    perm_idx: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Match GT polylines to map queries, permutation-invariantly.
 
@@ -85,6 +86,9 @@ def map_target(
       gt_pts: [bs, G, num_permute, num_pts, 2].
       gt_mask: [bs, G] bool.
       col4gt: optional precomputed assignment (layer-batched path).
+      perm_idx: optional precomputed best-permutation index [bs, P, G] from
+        the :func:`map_cost` call that produced ``col4gt`` — supplying both
+        skips rebuilding the [bs, P, G, perm, pts, 2] distance tensor.
 
     Returns:
       cls_target [bs, P] int32, pts_target [bs, P, num_pts*2] (best permutation,
@@ -92,9 +96,11 @@ def map_target(
     """
     bs, P = cls_pred.shape[:2]
     G, n_perm, n_pts, _ = gt_pts.shape[1:]
-    cost, perm_idx = map_cost(cls_pred, pts_pred, gt_labels, gt_pts, roi_size)
-    if col4gt is None:
-        col4gt = matching.assign(cost, gt_mask)
+    if col4gt is None or perm_idx is None:
+        cost, perm_idx = map_cost(cls_pred, pts_pred, gt_labels, gt_pts,
+                                  roi_size)
+        if col4gt is None:
+            col4gt = matching.assign(cost, gt_mask)
 
     safe_col = jnp.where(col4gt >= 0, col4gt, P)
     bidx = jnp.arange(bs)[:, None]

@@ -139,13 +139,14 @@ def _draw_circle(img: np.ndarray, center, radius: int, color):
 
 def _project_traj(traj_xy: np.ndarray, lidar2img: np.ndarray,
                   z: float = -1.8) -> np.ndarray:
-    """Ground-plane waypoints -> image points with positive depth
+    """Ground-plane waypoints -> (image points [n, 2], in-front mask [n])
     (`hipad_b2d_agent.py:646-663`)."""
     n = len(traj_xy)
     pts = np.concatenate([traj_xy, np.full((n, 1), z), np.ones((n, 1))], axis=1)
     proj = (lidar2img @ pts.T).T
     keep = proj[:, 2] > 1e-5
-    return proj[keep, :2] / proj[keep, 2:3]
+    uv = proj[:, :2] / np.where(keep, proj[:, 2], 1.0)[:, None]
+    return uv, keep
 
 
 def render_composite(
@@ -178,12 +179,16 @@ def render_composite(
                 if key in result:
                     traj = np.concatenate(
                         [np.zeros((1, 2)), np.asarray(result[key])])
-                    uv = _project_traj(traj, l2i)
-                    for a, b in zip(uv[:-1], uv[1:]):
-                        _line(img, a, b, np.array(color, np.uint8), 3)
+                    uv, kp = _project_traj(traj, l2i)
+                    # only join ADJACENT in-front waypoints: a behind-camera
+                    # point breaks the polyline rather than bridging across
+                    for i in range(len(uv) - 1):
+                        if kp[i] and kp[i + 1]:
+                            _line(img, uv[i], uv[i + 1],
+                                  np.array(color, np.uint8), 3)
             if target_point is not None:
-                uv = _project_traj(np.asarray(target_point)[None], l2i)
-                if len(uv):
+                uv, kp = _project_traj(np.asarray(target_point)[None], l2i)
+                if kp[0]:
                     _draw_circle(img, uv[0], 7, np.array((255, 105, 120),
                                                          np.uint8))
         tiles.append(img)

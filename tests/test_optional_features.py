@@ -150,3 +150,84 @@ def test_point_frac_serving_smoke():
     out2, _ = model2.apply(variables2, images2, metas2, None, train=False)
     assert np.isfinite(np.asarray(
         out2["plan"]["final_waypoints"], np.float32)).all()
+
+
+def test_point_frac_prepare_matches_op_point_k():
+    """Cross-pins the TWO implementations of keypoint top-k pruning: the
+    early prepare-level one (`models/deformable.py`, prunes before the
+    [.., P, cams, L, G] relayout so every downstream tensor shrinks) and
+    the aggregation-level ``point_k`` block (`ops/sampling.py`, used by the
+    op-level tests and the bs=2 fault repro). Both implement the same
+    approximation — importance = total in-bounds weight mass, iterative
+    argmax top-k, one-hot select, truncated-mass renormalisation — on
+    different layouts; a semantics change in one must not silently diverge
+    from the other."""
+    import flax.linen as nn
+
+    from hipad_tpu.configs.model import KeypointSpec
+    from hipad_tpu.models.deformable import DeformableAggregation
+    from hipad_tpu.models.keypoints import BoxKeypoints
+    from hipad_tpu.ops.sampling import (deformable_aggregation,
+                                        deformable_aggregation_topk)
+
+    rng = np.random.RandomState(5)
+    bs, n, cams, L, G, d = 2, 6, 3, 2, 4, 32
+    fix = ((0.0, 0.0, 0.0), (0.45, 0.0, 0.0), (0.0, 0.3, 0.0))
+    n_learn = 5
+    P = len(fix) + n_learn
+    frac = 0.5
+    kp = P // 2
+
+    class Prep(nn.Module):
+        frac: float
+
+        @nn.compact
+        def __call__(self, feat, anchor, embed, proj, wh):
+            kps = BoxKeypoints(KeypointSpec(fix, n_learn), name="kps")
+            dfa = DeformableAggregation(
+                embed_dims=d, num_groups=G, num_levels=L, num_cams=cams,
+                kps=kps, attn_drop=0.0, sampler_point_frac=self.frac,
+                name="dfa")
+            return dfa.prepare(feat, anchor, embed, proj, wh,
+                               deterministic=True)
+
+    feat = jnp.asarray(rng.randn(bs, n, d).astype(np.float32))
+    embed = jnp.asarray(rng.randn(bs, n, d).astype(np.float32))
+    anchor = jnp.asarray((rng.randn(bs, n, 11) * 0.5).astype(np.float32))
+    proj = np.zeros((bs, cams, 4, 4), np.float32)
+    for b in range(bs):
+        for c in range(cams):
+            s = 4.0 + c
+            proj[b, c, 0] = [s, 0, 0, 32.0]
+            proj[b, c, 1] = [0, s, 0, 24.0]
+            proj[b, c, 2] = [0, 0, 0, 1.0]
+            proj[b, c, 3] = [0, 0, 0, 1.0]
+    wh = np.tile(np.array([64.0, 48.0], np.float32), (bs, cams, 1))
+
+    variables = Prep(frac=1.0).init(
+        jax.random.PRNGKey(0), feat, anchor, embed, jnp.asarray(proj),
+        jnp.asarray(wh))
+    # weights_fc is zero-init (uniform softmax = importance TIES everywhere,
+    # which would make the two top-k selections order-dependent) — replace
+    # every param with random values so the weight mass is generic.
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    variables = jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(rng.randn(*l.shape).astype(l.dtype) * 0.3)
+         for l in leaves])
+
+    args = (feat, anchor, embed, jnp.asarray(proj), jnp.asarray(wh))
+    pts_pruned, w_pruned = Prep(frac=frac).apply(variables, *args)
+    assert pts_pruned.shape[2] == kp
+    pts_full, w_full = Prep(frac=1.0).apply(variables, *args)
+
+    shapes = [(16, 24), (8, 12)]
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, d).astype(np.float32))
+             for h, w in shapes]
+    out_prepare = deformable_aggregation(feats, pts_pruned, w_pruned)
+    # cam_k=cams and no matmul levels make the aggregation itself exact, so
+    # the only approximation left in this call is its own point_k block
+    out_op = deformable_aggregation_topk(
+        feats, pts_full, w_full, cam_k=cams, matmul_levels=(), point_k=kp)
+    np.testing.assert_allclose(np.asarray(out_op), np.asarray(out_prepare),
+                               rtol=2e-4, atol=2e-4)
