@@ -37,21 +37,24 @@ def run_model(overrides, frames=3, bs=1):
     variables = jax.jit(lambda r: model.init(
         {"params": r}, images, metas, train=False))(jax.random.PRNGKey(0))
 
+    # variables must be a jit ARGUMENT: closed-over device arrays embed as
+    # HLO constants, and the ~50 MB of weights trips the axon remote-compile
+    # service's request-body limit (HTTP 413).
     @jax.jit
-    def step(img, banks):
+    def step(variables, img, banks):
         out, banks = model.apply(variables, img, metas, banks, train=False)
         return out["plan"]["final_waypoints"], banks
 
     banks = init_bank_states(cfg, bs, feature_dtype=jnp.bfloat16)
     imgs = [images + jnp.asarray(i * 1e-3, images.dtype) for i in range(4)]
-    wp, banks = step(imgs[0], banks)  # compile outside the trace
+    wp, banks = step(variables, imgs[0], banks)  # compile outside the trace
     float(jnp.sum(wp))
 
     logdir = "/tmp/hipad_trace"
     os.system(f"rm -rf {logdir}")
     with jax.profiler.trace(logdir):
         for i in range(frames):
-            wp, banks = step(imgs[1 + i % 3], banks)
+            wp, banks = step(variables, imgs[1 + i % 3], banks)
             float(jnp.sum(wp))
     return logdir, frames
 
@@ -133,6 +136,18 @@ def aggregate(logdir, frames):
           f"({total/frames:.1f} ms/frame)")
     print(f"{'ms/frame':>9}  {'%':>5}  op")
     for name, ms in sorted(by_op.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{ms/frames:9.2f}  {100*ms/total:5.1f}  {name[:110]}")
+    # Prefix aggregation: the per-(task, layer) scopes make the flat list a
+    # soup of sub-ms entries — sum families like plan_deformable_*, fusion.*.
+    import re as _re
+
+    by_family = defaultdict(float)
+    for name, ms in by_op.items():
+        fam = _re.sub(r"[_.]?\d+(\.\d+)?$", "", name)
+        fam = _re.sub(r"_\d+(?=[_.])", "", fam)
+        by_family[fam] += ms
+    print(f"\n{'ms/frame':>9}  {'%':>5}  op family (trailing indices stripped)")
+    for name, ms in sorted(by_family.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{ms/frames:9.2f}  {100*ms/total:5.1f}  {name[:110]}")
 
 
