@@ -91,6 +91,12 @@ class HiPADTpuAgent(autonomous_agent.AutonomousAgent):
         parts = (path_to_conf_file or "").split("+")
         ckpt_dir = parts[0]
         opts = dict(p.split("=", 1) for p in parts[1:] if "=" in p)
+        unknown = sorted(set(opts) - {"config"})
+        if unknown:
+            # A typo'd key (e.g. "+confg=tiny") would otherwise silently fall
+            # back to the stage2 default — fail loudly instead.
+            raise ValueError(
+                f"unknown agent conf option(s) {unknown}; supported: ['config']")
         names = [p for p in parts[1:] if p and "=" not in p]
         self.save_name = names[-1] if names else "hipad_tpu"
 

@@ -65,7 +65,8 @@ class FrontViewEncoder(nn.Module):
         x = nn.relu(bn("bn2")(x))
         # The reference pools with kernel = feature_map_scale // 2 computed
         # from the PRE-conv stride-32 dims (ego/instance_bank.py:45,74 with
-        # config feature_map_scale=(W/32, H/32)) and squeezes the resulting
+        # config feature_map_scale=(H/32, W/32), i.e. (11, 20) for the
+        # 640x352 input) and squeezes the resulting
         # 1x1 map — for odd dims the torch AvgPool's single window DROPS the
         # trailing row/col (e.g. stage-2: kernel (5,10) over the 6x10
         # post-conv map averages rows 0..4 only). Take the identical first

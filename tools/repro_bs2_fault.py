@@ -1,4 +1,5 @@
 """Minimal bs=2 sampler-only repro on the real TPU: bisect the device fault."""
+import os
 import sys
 import time
 
@@ -6,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hipad_tpu.ops import sampling as S
 
 H, W = 352, 640
