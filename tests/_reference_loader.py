@@ -242,6 +242,176 @@ def _install_stubs():
                 VectorizeMapNumpy=None)
 
 
+def _install_loss_stubs():
+    """mmdet loss / match-cost / assigner primitives the reference's loss
+    path builds from config (`hipad_b2d_stage2.py:417-476`). These are
+    faithful CPU implementations of the published mmdet formulas
+    (FocalLoss, L1Loss, CrossEntropyLoss(use_sigmoid), GaussianFocalLoss,
+    FocalLossCost, weighted smooth_l1/l1) — the reference's OWN code
+    (SparseBox3DTarget/SparsePoint3DTarget/plan/motion targets,
+    SparseBox3DLoss/SparseLineLoss and the decoder loss assembly) is loaded
+    from /root/reference and is the thing under test."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    core = sys.modules["mmdet.core"]
+    if getattr(core, "_hipad_loss_stub", False):
+        return
+    core._hipad_loss_stub = True
+
+    def weight_reduce_loss(loss, weight=None, reduction="mean", avg_factor=None):
+        if weight is not None:
+            loss = loss * weight
+        if avg_factor is None:
+            if reduction == "mean":
+                return loss.mean()
+            if reduction == "sum":
+                return loss.sum()
+            return loss
+        if reduction == "mean":
+            return loss.sum() / avg_factor
+        if reduction == "none":
+            return loss
+        raise ValueError(reduction)
+
+    def l1_loss(pred, target, weight=None, reduction="mean", avg_factor=None):
+        return weight_reduce_loss((pred - target).abs(), weight, reduction,
+                                  avg_factor)
+
+    def smooth_l1_loss(pred, target, weight=None, reduction="mean",
+                       avg_factor=None, beta=1.0):
+        d = (pred - target).abs()
+        loss = torch.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+        return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+    class L1Loss(nn.Module):
+        def __init__(self, reduction="mean", loss_weight=1.0):
+            super().__init__()
+            self.reduction = reduction
+            self.loss_weight = loss_weight
+
+        def forward(self, pred, target, weight=None, avg_factor=None, **kw):
+            return self.loss_weight * l1_loss(pred, target, weight,
+                                              self.reduction, avg_factor)
+
+    class FocalLoss(nn.Module):
+        def __init__(self, use_sigmoid=True, gamma=2.0, alpha=0.25,
+                     reduction="mean", loss_weight=1.0):
+            super().__init__()
+            assert use_sigmoid
+            self.gamma, self.alpha = gamma, alpha
+            self.reduction, self.loss_weight = reduction, loss_weight
+
+        def forward(self, pred, target, weight=None, avg_factor=None, **kw):
+            n_cls = pred.size(1)
+            t = F.one_hot(target.long(), num_classes=n_cls + 1)
+            t = t[:, :n_cls].type_as(pred)
+            p = pred.sigmoid()
+            pt = (1 - p) * t + p * (1 - t)
+            fw = (self.alpha * t + (1 - self.alpha) * (1 - t)) * pt.pow(self.gamma)
+            loss = F.binary_cross_entropy_with_logits(
+                pred, t, reduction="none") * fw
+            if weight is not None and weight.dim() == 1:
+                weight = weight.view(-1, 1)
+            return self.loss_weight * weight_reduce_loss(
+                loss, weight, self.reduction, avg_factor)
+
+    class CrossEntropyLoss(nn.Module):
+        def __init__(self, use_sigmoid=False, reduction="mean", loss_weight=1.0):
+            super().__init__()
+            assert use_sigmoid
+            self.reduction, self.loss_weight = reduction, loss_weight
+
+        def forward(self, pred, target, weight=None, avg_factor=None, **kw):
+            loss = F.binary_cross_entropy_with_logits(
+                pred, target.float(), reduction="none")
+            return self.loss_weight * weight_reduce_loss(
+                loss, weight, self.reduction, avg_factor)
+
+    class GaussianFocalLoss(nn.Module):
+        def __init__(self, alpha=2.0, gamma=4.0, reduction="mean",
+                     loss_weight=1.0):
+            super().__init__()
+            self.alpha, self.gamma = alpha, gamma
+            self.reduction, self.loss_weight = reduction, loss_weight
+
+        def forward(self, pred, target, weight=None, avg_factor=None, **kw):
+            eps = 1e-12
+            pos_w = target.eq(1)
+            neg_w = (1 - target).pow(self.gamma)
+            pos = -(pred + eps).log() * (1 - pred).pow(self.alpha) * pos_w
+            neg = -(1 - pred + eps).log() * pred.pow(self.alpha) * neg_w
+            return self.loss_weight * weight_reduce_loss(
+                pos + neg, weight, self.reduction, avg_factor)
+
+    LOSSES = sys.modules["mmdet.models"].LOSSES
+    for cls in (L1Loss, FocalLoss, CrossEntropyLoss, GaussianFocalLoss):
+        LOSSES.modules[cls.__name__] = cls
+
+    _module("mmdet.models.losses", l1_loss=l1_loss,
+            smooth_l1_loss=smooth_l1_loss)
+
+    # ---- match costs / assigners (map target path)
+    MATCH_COST = _Registry()
+
+    class FocalLossCost:
+        def __init__(self, weight=1.0, alpha=0.25, gamma=2, eps=1e-12):
+            self.weight, self.alpha, self.gamma, self.eps = weight, alpha, gamma, eps
+
+        def __call__(self, cls_pred, gt_labels):
+            p = cls_pred.sigmoid()
+            neg = -(1 - p + self.eps).log() * (1 - self.alpha) * p.pow(self.gamma)
+            pos = -(p + self.eps).log() * self.alpha * (1 - p).pow(self.gamma)
+            return (pos[:, gt_labels] - neg[:, gt_labels]) * self.weight
+
+    MATCH_COST.modules["FocalLossCost"] = FocalLossCost
+
+    def build_match_cost(cfg):
+        cfg = dict(cfg)
+        return MATCH_COST.modules[cfg.pop("type")](**cfg)
+
+    BBOX_ASSIGNERS = _Registry()
+    builder = sys.modules["mmdet.core.bbox.builder"]
+    builder.BBOX_ASSIGNERS = BBOX_ASSIGNERS
+
+    def build_assigner(cfg):
+        cfg = dict(cfg)
+        return BBOX_ASSIGNERS.modules[cfg.pop("type")](**cfg)
+
+    core.build_assigner = build_assigner
+    core.build_sampler = None
+    _module("mmdet.core.bbox.match_costs", build_match_cost=build_match_cost)
+    _module("mmdet.core.bbox.match_costs.builder", MATCH_COST=MATCH_COST)
+    _module("mmdet.core.bbox.assigners", AssignResult=object,
+            BaseAssigner=object)
+
+
+def load_loss() -> types.SimpleNamespace:
+    """`load()` plus the reference's full loss path: target assigners
+    (`det/target.py`, `map/target.py`+`match_cost.py`, `plan/target.py`,
+    `motion/target.py`), loss modules (`det/losses.py`, `map/loss.py`) and
+    the `SparseOneDecoder` class whose `loss*` methods assemble them
+    (`sparse_onedecoder.py:1095-1579`)."""
+    ns = load()
+    _install_loss_stubs()
+    p = "projects.mmdet3d_plugin"
+    ns.base_target = _load(f"{p}.models.base_target", "models/base_target.py")
+    ns.det_target = _load(f"{p}.models.det.target", "models/det/target.py")
+    ns.det_losses = _load(f"{p}.models.det.losses", "models/det/losses.py")
+    ns.map_match_cost = _load(f"{p}.models.map.match_cost",
+                              "models/map/match_cost.py")
+    ns.map_target = _load(f"{p}.models.map.target", "models/map/target.py")
+    ns.map_loss = _load(f"{p}.models.map.loss", "models/map/loss.py")
+    ns.plan_target = _load(f"{p}.models.plan.target", "models/plan/target.py")
+    ns.motion_target = _load(f"{p}.models.motion.target",
+                             "models/motion/target.py")
+    ns.attention = _load(f"{p}.models.attention", "models/attention.py")
+    ns.onedecoder = _load(f"{p}.models.sparse_onedecoder",
+                          "models/sparse_onedecoder.py")
+    return ns
+
+
 def _load(fullname: str, relpath: str):
     if fullname in sys.modules and hasattr(sys.modules[fullname], "__file__"):
         return sys.modules[fullname]
