@@ -33,8 +33,15 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a batch pytree batch-sharded (axis 0) on the mesh.
+def microbatch_sharded(mesh: Mesh) -> NamedSharding:
+    """Gradient-accumulation layout [accum_steps, batch, ...]: the micro-step
+    axis stays local (scanned), the per-sample axis shards over data."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch: Any, accum: bool = False) -> Any:
+    """Place a batch pytree batch-sharded (axis 0; with ``accum=True`` the
+    [accum, batch, ...] layout — axis 1) on the mesh.
 
     Single-process: arrays are the [global_bs, ...] batch; ``device_put``
     scatters them. Multi-process (``jax.distributed`` initialised, e.g.
@@ -46,13 +53,17 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     (``jax.make_array_from_process_local_data``; ``device_put`` cannot
     target non-addressable devices).
     """
-    sh = batch_sharded(mesh)
+    sh = microbatch_sharded(mesh) if accum else batch_sharded(mesh)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
+    ax = 1 if accum else 0
+
     def _make(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = (x.shape[:ax]
+                        + (x.shape[ax] * jax.process_count(),)
+                        + x.shape[ax + 1:])
         return jax.make_array_from_process_local_data(sh, x, global_shape)
 
     return jax.tree_util.tree_map(_make, batch)

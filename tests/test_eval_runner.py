@@ -92,6 +92,59 @@ def test_openloop_eval_all_tasks(setup):
     assert "motion" in summary or "map" in summary
 
 
+def _flat(summary):
+    return {f"{k}/{m}": float(x) for k, d in summary.items()
+            for m, x in d.items()}
+
+
+def test_batched_eval_matches_streaming(setup):
+    """batch_slots=B streams B sequences per dispatch with per-slot bank
+    carries; per-frame records (and so the summary) must match the bs=1
+    streaming loop. Uses both synthetic routes so both slots are live."""
+    cfg, variables, dataset = setup
+    n = 24  # three 8-frame sub-sequences (split_group interleaving), so both
+    # slots are live and sequence resets happen mid-stream
+    stream = run_openloop_eval(cfg, variables, dataset, max_frames=n)
+    batched = run_openloop_eval(cfg, variables, dataset, max_frames=n,
+                                batch_slots=2, num_workers=2)
+    fs, fb = _flat(stream), _flat(batched)
+    assert set(fs) == set(fb)
+    for k in fs:
+        assert fb[k] == pytest.approx(fs[k], rel=1e-4, abs=1e-5), k
+
+
+def test_multirank_eval_matches_single(setup, tmp_path):
+    """Contiguous sequence-aligned rank shards + rank-ordered pickle gather
+    (`apis/test.py:122-167` semantics) reproduce the single-rank summary.
+    The gather is filesystem-based (no collective), so running the two ranks
+    sequentially in-process exercises exactly the production code path."""
+    cfg, variables, dataset = setup
+    n = 24
+    single = run_openloop_eval(cfg, variables, dataset, max_frames=n)
+    gd = str(tmp_path / "gather")
+    r1 = run_openloop_eval(cfg, variables, dataset, max_frames=n,
+                           rank=1, world=2, gather_dir=gd)
+    assert r1 is None
+    merged = run_openloop_eval(cfg, variables, dataset, max_frames=n,
+                               rank=0, world=2, gather_dir=gd)
+    fs, fm = _flat(single), _flat(merged)
+    assert set(fs) == set(fm)
+    for k in fs:
+        assert fm[k] == pytest.approx(fs[k], rel=1e-6, abs=1e-8), k
+
+
+def test_rank_spans_partition():
+    from hipad_tpu.eval.runner import rank_spans, sequence_spans
+
+    flags = np.array([0] * 7 + [1] * 5 + [2] * 9 + [3] * 3)
+    spans = sequence_spans(flags, len(flags))
+    assert spans == [(0, 7), (7, 12), (12, 21), (21, 24)]
+    parts = [rank_spans(spans, r, 3) for r in range(3)]
+    # every sequence on exactly one rank, contiguous and ordered
+    assert [sp for p in parts for sp in p] == spans
+    assert all(p for p in parts)
+
+
 def test_report_tables_render():
     """Reference-style report tables render for every eval section
     (`bench2drive_dataset.py:1457-1597` counterpart)."""

@@ -6,10 +6,12 @@ frames, `apis/test.py:49-98`), decode per-frame results, then compute
 planning L2/collision, detection mAP/NDS, map chamfer-AP and motion EPA
 (`bench2drive_dataset.py:1596-1657`).
 
-Single-host: frames stream through one jitted step. Multi-host note: shard
-*sequences* (not frames) across hosts and aggregate metrics on host 0 — the
-reference's contiguous per-rank sharding (`apis/test.py:122-167`) exists for
-the same reason.
+Single-host: frames stream through one jitted step (``--batch-slots B``
+streams B sequences per dispatch — the GroupInBatchSampler slot trick —
+cutting the per-frame host sync ~B-fold). Multi-host (``--multihost``): each
+process evaluates a contiguous sequence-aligned shard and rank 0 gathers
+rank-ordered pickles from ``--gather-dir`` (the reference's
+`apis/test.py:122-167` semantics).
 
     python tools/test.py --ann-file data/infos/b2d_infos_val.pkl \
         --map-file data/infos/b2d_map_infos.pkl --ckpt work_dirs/hipad_tpu
@@ -41,12 +43,23 @@ def main():
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the jax platform (the JAX_PLATFORMS env var "
                         "does not override an installed TPU plugin)")
+    p.add_argument("--batch-slots", type=int, default=1,
+                   help="stream N independent sequences per dispatch")
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="data-loading threads for the batched runner")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize(); shard sequences per "
+                        "process and gather on rank 0")
+    p.add_argument("--gather-dir", default="work_dirs/eval_gather",
+                   help="rank-ordered pickle gather dir (multihost)")
     args = p.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
     import numpy as np
 
@@ -76,7 +89,12 @@ def main():
         dtype=jnp.bfloat16, eval_planning=args.eval_planning,
         eval_det=args.eval_det, eval_map=args.eval_map,
         eval_motion=args.eval_motion,
+        batch_slots=args.batch_slots, num_workers=args.num_workers,
+        rank=jax.process_index(), world=jax.process_count(),
+        gather_dir=args.gather_dir,
     )
+    if summary is None:  # non-zero rank: records shipped to rank 0
+        return
 
     from hipad_tpu.eval.report import format_summary
 

@@ -30,6 +30,11 @@ def main():
     p.add_argument("--map-file", default=None)
     p.add_argument("--data-root", default="data/bench2drive")
     p.add_argument("--batch-size", type=int, default=6, help="global batch")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation: micro-batches per optimizer "
+                        "update (the 16 GB-HBM bs=1-per-chip counterpart of "
+                        "the reference's bs=6/GPU; global batch = "
+                        "batch-size * accum-steps)")
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--work-dir", default="work_dirs/hipad_tpu")
@@ -131,8 +136,17 @@ def main():
                                   num_workers=min(local_bs, 8),
                                   rank=pid, world=n_proc))
 
-    step_fn = jit_train_step(cfg, model, mesh)
+    A = args.accum_steps
+    step_fn = jit_train_step(cfg, model, mesh, accum_steps=A)
     banks = None
+    if A > 1:
+        # accumulation widens the global batch: each micro-slice carries its
+        # own bank slice (its own GroupStreamSampler slots)
+        from hipad_tpu.models.instance_bank import init_bank_states
+
+        banks = jax.tree.map(
+            lambda x: jnp.stack([x] * A),
+            init_bank_states(cfg, local_bs, feature_dtype=jnp.bfloat16))
     rng = jax.random.PRNGKey(args.seed + 1)
     os.makedirs(args.work_dir, exist_ok=True)
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
@@ -140,9 +154,14 @@ def main():
     t0 = time.time()
     start = int(state.step)
     for it in range(start, total_steps):
-        batch = {k: jnp.asarray(v) for k, v in next(loader).items()
-                 if not isinstance(v, list)}
-        batch = mesh_lib.shard_batch(mesh, batch)
+        if A > 1:
+            micro = [next(loader) for _ in range(A)]
+            batch = {k: jnp.stack([jnp.asarray(mb[k]) for mb in micro])
+                     for k in micro[0] if not isinstance(micro[0][k], list)}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in next(loader).items()
+                     if not isinstance(v, list)}
+        batch = mesh_lib.shard_batch(mesh, batch, accum=A > 1)
         rng, sub = jax.random.split(rng)
         state, banks, metrics = step_fn(state, banks, batch, sub)
         if ((it + 1) % args.log_interval == 0 or it == start) and pid == 0:
