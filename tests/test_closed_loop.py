@@ -65,6 +65,62 @@ def test_agent_bank_roundrobin_reuses_state(tiny_agent):
     assert all(a is not b for a, b in zip(after, before))
 
 
+def test_scripted_120_tick_drive_regression(tiny_agent):
+    """≥100-tick scripted drive (straight + 90° left turn + straight): the
+    closest attainable proxy to a CARLA run here (`hipad_b2d_agent.py:
+    456-615`). The ego follows the script at 10 m/s while the agent observes
+    every tick through a RoutePlanner(4, 50) fed like the reference's
+    (`:359-393`). Asserts over 120 ticks / 40 bank wraps:
+      * PID stability: every control finite + in-range, steer never pinned
+        at a rail for the whole drive;
+      * bank round-robin: slot (step % n) is replaced on EVERY tick and the
+        other slots are untouched, across all 40 wraps;
+      * route planner: pops are monotone (route never regrows), the live
+        command transitions exactly 4 -> 1 -> 4 (straight/turn/straight),
+        and >= 2 entries always remain."""
+    from hipad_tpu.agent.replay import run_scripted_replay, scripted_route
+
+    route = scripted_route(straight=20.0, turn_radius=10.0, turn_deg=90.0,
+                           exit_straight=25.0, spacing=2.0)
+    n = len(tiny_agent.banks)
+    ids = [id(b) for b in tiny_agent.banks]
+    rotations = []
+
+    def on_tick(t, agent):
+        changed = [i for i, b in enumerate(agent.banks) if id(b) != ids[i]]
+        rotations.append(tuple(changed))
+        for i in changed:
+            ids[i] = id(agent.banks[i])
+
+    log = run_scripted_replay(tiny_agent, route, n_ticks=120, speed=10.0,
+                              img_hw=(90, 160), on_tick=on_tick)
+    assert len(log) == 120
+
+    # ---- PID stability
+    steers = np.array([e["steer"] for e in log])
+    for e in log:
+        assert np.isfinite([e["steer"], e["throttle"], e["brake"]]).all()
+        assert -1 <= e["steer"] <= 1 and 0 <= e["throttle"] <= 0.75
+        assert 0 <= e["brake"] <= 1
+    assert not (np.abs(steers) == 1.0).all(), "steer pinned at a rail"
+
+    # ---- bank round-robin over wraps: exactly one slot per tick, in order
+    start = tiny_agent.step - 119  # fixture is shared; offset to this run
+    assert all(len(c) == 1 for c in rotations)
+    assert [c[0] for c in rotations] == [(start + t) % n for t in range(120)]
+
+    # ---- route planner pops + command transitions
+    lens = [e["route_len"] for e in log]
+    assert all(a >= b for a, b in zip(lens, lens[1:])), "route regrew"
+    assert lens[0] > lens[-1], "planner never popped"
+    assert min(lens) >= 2
+    dedup = [log[0]["command"]]
+    for e in log[1:]:
+        if e["command"] != dedup[-1]:
+            dedup.append(e["command"])
+    assert dedup == [4, 1, 4], f"command transitions {dedup}"
+
+
 def test_split_routes_contiguous(tmp_path):
     """`tools/split_routes.py` (counterpart of bench2drive split_xml)."""
     import sys
