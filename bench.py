@@ -31,6 +31,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from hipad_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()  # skips the ~20 min stage-2 compile on re-runs
+
 BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
 N_ITERS = 16
 

@@ -134,7 +134,10 @@ class MultiheadAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if attn_bias is not None:
             logits = logits + attn_bias.astype(logits.dtype)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        # upcast-only: bf16 logits softmax in f32; f64 (parity oracle) stays f64
+        probs = jax.nn.softmax(
+            logits.astype(jnp.promote_types(logits.dtype, jnp.float32)),
+            axis=-1).astype(q.dtype)
         if self.attn_drop > 0.0 and not deterministic:
             probs = nn.Dropout(self.attn_drop)(probs, deterministic=False)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(bs, nq, d)

@@ -530,20 +530,25 @@ class SparseOneDecoder(nn.Module):
                 if cfg.with_topk_mode and cfg.topk_mode_list is not None:
                     per_prev = plan_reg.shape[1] // ng
                     k_l = min(int(cfg.topk_mode_list[refine_i]), per_prev)
-                    if k_l < per_prev:
-                        cls_g = plan_cls.reshape(bs, ng, per_prev)
-                        scores, idx = jax.lax.top_k(cls_g, k_l)
-                        if cfg.keep_topk_relative_pos:
-                            idx = jnp.sort(idx, axis=-1)
-                            scores = jnp.take_along_axis(cls_g, idx, axis=-1)
+                    # The reference applies topk EVERY refine layer, so even
+                    # k == per_prev reorders the modes by descending score
+                    # (`plan_cls.topk` sorts; keep_topk_relative_pos=False
+                    # keeps that order) — semantically inert for every
+                    # downstream consumer, but positionally load-bearing for
+                    # oracle parity, so mirror it unconditionally.
+                    cls_g = plan_cls.reshape(bs, ng, per_prev)
+                    scores, idx = jax.lax.top_k(cls_g, k_l)
+                    if cfg.keep_topk_relative_pos:
+                        idx = jnp.sort(idx, axis=-1)
+                        scores = jnp.take_along_axis(cls_g, idx, axis=-1)
 
-                        def take(a):
-                            ag = a.reshape((bs, ng, per_prev, -1))
-                            return jnp.take_along_axis(ag, idx[..., None], axis=2)
+                    def take(a):
+                        ag = a.reshape((bs, ng, per_prev, -1))
+                        return jnp.take_along_axis(ag, idx[..., None], axis=2)
 
-                        plan_reg = take(plan_reg).reshape(bs, ng * k_l, -1)
-                        feat["plan"] = take(feat["plan"]).reshape(bs, ng * k_l, -1)
-                        plan_cls = scores.reshape(bs, ng * k_l, 1).astype(plan_cls.dtype)
+                    plan_reg = take(plan_reg).reshape(bs, ng * k_l, -1)
+                    feat["plan"] = take(feat["plan"]).reshape(bs, ng * k_l, -1)
+                    plan_cls = scores.reshape(bs, ng * k_l, 1).astype(plan_cls.dtype)
 
                 anchor["plan"] = plan_reg
                 wp = plan_reg.reshape(bs, -1, cfg.ego_fut_ts, 2)

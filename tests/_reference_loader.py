@@ -482,9 +482,12 @@ def load_onedecoder() -> types.SimpleNamespace:
         assert not causal and key_padding_mask is None
         k, v = kv[:, :, 0], kv[:, :, 1]  # [B, S, H, D]
         scale = self.softmax_scale or 1.0 / math.sqrt(q.shape[-1])
-        logits = torch.einsum("bthd,bshd->bhts", q.float(), k.float()) * scale
+        # upcast-only: fp16 params run in f32; f64 oracles (tdec.double())
+        # must stay f64 or downstream f64 linears reject the f32 output
+        dt = torch.promote_types(q.dtype, torch.float32)
+        logits = torch.einsum("bthd,bshd->bhts", q.to(dt), k.to(dt)) * scale
         w = torch.softmax(logits, dim=-1)
-        out = torch.einsum("bhts,bshd->bthd", w, v.float())
+        out = torch.einsum("bhts,bshd->bthd", w, v.to(dt))
         return out, w
 
     attention.FlashAttention.forward = _cpu_exact_attention

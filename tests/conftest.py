@@ -21,3 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA cache: the suite's CPU compiles dominate its 45-50 min
+# runtime; shape-identical re-runs hit the on-disk cache instead.
+from hipad_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

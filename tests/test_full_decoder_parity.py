@@ -8,12 +8,25 @@ exec'd with only path/scale/size substitutions), with randomized weights,
 run on CPU torch — against our flax `SparseOneDecoder` loaded with the SAME
 weights through the production converter (`tools/convert_weights.py`).
 
+FULL DEPTH: the complete 6-layer op program (1 single-frame + 5 temporal
+layers, `hipad_b2d_stage2.py:47,70-74`) over a two-frame temporal episode,
+plus a second fixture with the per-layer ``with_topk_mode`` plan-mode
+pruning schedule enabled (`sparse_onedecoder.py:982-1007`).
+
 Covers in one numeric assertion per output family: the op-program loop
 (concat/gnn/inter_gnn/temp_gnn/norm/split/deformable/ffn/refine), all four
 instance banks (det/map/ego/plan) including the frame-2 temporal path
 (SE(3) anchor projection, top-k merge, confidence decay), anchor encoders,
 camera-conditioned deformable sampling, all five refinement heads, motion
 anchors, command/target-point embeds, and the converter's name/layout map.
+
+EXACT frame-2: both sides run in float64 (torch ``.double()``, jax
+``enable_x64``) over the SAME float32 weight/input bits widened to f64, so
+cross-implementation reduction noise is ~1e-12 — far below the ~1e-3
+spacing of the 900 sorted det confidences. The temporal top-k cache
+ordering therefore agrees slot-for-slot and every comparison is a hard
+max|Δ| assertion (round 2 needed a 6%-of-rows allowance for near-tie cache
+order swaps at f32 noise; f64 removes the ties instead of tolerating them).
 
 Alignment choices (each is a documented equivalence, not a fudge):
   * flash-attn is exact softmax attention — `_reference_loader.load_onedecoder`
@@ -23,8 +36,9 @@ Alignment choices (each is a documented equivalence, not a fudge):
     only documented divergence from it is the out-of-image boundary band, so
     the test zeroes a 1-pixel border on every feature-map level, which makes
     zeros-padding (torch) and validity-masking (ours) agree exactly.
-  * cam_k is set to num_cams (every camera sampled — the exact-semantics
-    configuration; the serving cam-top-k knobs have their own error-bound
+  * cam_k is set to num_cams and sampler="reference" (every camera sampled,
+    row-gather oracle path — the exact-semantics configuration; the serving
+    topk sampler's equivalence and cam-top-k error bounds have their own
     tests in test_sampling.py).
 """
 
@@ -37,6 +51,7 @@ import pytest
 jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
 import jax.numpy as jnp  # noqa: E402
+enable_x64 = jax.enable_x64  # scoped x64 context (jax >= 0.9)
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
@@ -53,6 +68,16 @@ REF_CFG = "/root/reference/projects/configs/hipad_b2d_stage2.py"
 BS = 1
 H, W = 128, 256  # reduced input; feature pyramid at strides 4/8/16/32
 CAMS = 6
+N_LAYERS = 6  # full stage-2 depth: 1 single-frame + 5 temporal
+
+# Non-increasing per-refine-layer plan-mode keeps (of ego_fut_mode=48 per
+# anchor-type group); torch's topk requires k <= current size, so the
+# schedule must not grow. The last keep must cover the plan bank's
+# num_temp_mode (configs/model.py __post_init__ invariant).
+TOPK_SCHEDULE = (48, 36, 24, 18, 12, 12)
+TOPK_TEMP_MODE = 12
+
+ATOL = 1e-6  # f64 compute over shared f32 bits; see module docstring
 
 
 def _exec_reference_config():
@@ -90,19 +115,20 @@ def _projection_mats():
 
 
 def _frame_metas(t, T_global):
-    proj = np.tile(_projection_mats()[None], (BS, 1, 1, 1))
-    wh = np.tile(np.array([W, H], np.float32), (BS, CAMS, 1))
+    """Both sides in float64 — the same f32 bits widened (see docstring)."""
+    proj = np.tile(_projection_mats()[None], (BS, 1, 1, 1)).astype(np.float64)
+    wh = np.tile(np.array([W, H], np.float32), (BS, CAMS, 1)).astype(np.float64)
     rs = np.random.RandomState(7)
-    cmd = np.zeros((BS, 6), np.float32)
+    cmd = np.zeros((BS, 6), np.float64)
     cmd[:, 2] = 1.0
-    target = rs.uniform(-5, 5, (BS, 2)).astype(np.float32)
-    Tg = T_global.astype(np.float32)
-    Tg_inv = np.linalg.inv(Tg).astype(np.float32)
+    target = rs.uniform(-5, 5, (BS, 2)).astype(np.float32).astype(np.float64)
+    Tg = T_global.astype(np.float64)
+    Tg_inv = np.linalg.inv(Tg).astype(np.float64)
 
     t_metas = {
         "projection_mat": torch.tensor(proj),
         "image_wh": torch.tensor(wh),
-        "timestamp": torch.full((BS,), float(t)),
+        "timestamp": torch.full((BS,), float(t), dtype=torch.float64),
         "img_metas": [{"T_global": Tg, "T_global_inv": Tg_inv}
                       for _ in range(BS)],
         "target_point": torch.tensor(target),
@@ -111,7 +137,7 @@ def _frame_metas(t, T_global):
     j_metas = {
         "projection_mat": jnp.asarray(proj),
         "image_wh": jnp.asarray(wh),
-        "timestamp": jnp.full((BS,), float(t), jnp.float32),
+        "timestamp": jnp.full((BS,), float(t), jnp.float64),
         "T_global": jnp.tile(jnp.asarray(Tg)[None], (BS, 1, 1)),
         "T_global_inv": jnp.tile(jnp.asarray(Tg_inv)[None], (BS, 1, 1)),
         "target_point": jnp.asarray(target),
@@ -122,7 +148,8 @@ def _frame_metas(t, T_global):
 
 def _feature_maps(seed):
     """Per-level multi-view features with a ZEROED 1-pixel border so torch
-    grid_sample's zeros-padding and our validity masking agree exactly."""
+    grid_sample's zeros-padding and our validity masking agree exactly.
+    f32 values widened to f64 on both sides."""
     rs = np.random.RandomState(seed)
     t_fms, j_fms = [], []
     for stride in (4, 8, 16, 32):
@@ -132,6 +159,7 @@ def _feature_maps(seed):
         fm[..., -1, :] = 0.0
         fm[..., :, 0] = 0.0
         fm[..., :, -1] = 0.0
+        fm = fm.astype(np.float64)
         t_fms.append(torch.tensor(fm))
         j_fms.append(jnp.asarray(np.transpose(fm, (0, 1, 3, 4, 2))))  # NHWC
     return t_fms, j_fms
@@ -160,14 +188,12 @@ def _randomize_converted(dec, converted, seed=0):
                 t.copy_((torch.rand(t.shape, generator=gen) - 0.5) * 0.6)
 
 
-@pytest.fixture(scope="module")
-def both():
+def _build(topk: bool):
     ns = load_onedecoder()
     cfgns = _exec_reference_config()
     head = cfgns["model"]["head"]["onedecoder_head"]
 
     # ---- reference-side config surgery (documented in the module docstring)
-    registries = sys.modules["mmcv.cnn.bricks.registry"]
     samplers = sys.modules["mmdet.core.bbox.builder"].BBOX_SAMPLERS
     coders = sys.modules["mmdet.core.bbox.builder"].BBOX_CODERS
 
@@ -197,14 +223,16 @@ def both():
     for k in ("det_deformable", "map_deformable", "ego_deformable",
               "plan_deformable"):
         head[k]["use_deformable_func"] = False  # torch grid_sample fallback
-    # 2 layers (1 single-frame + 1 temporal) keep CPU compile sane while
-    # still covering both op programs
     head["operation_order"] = (cfgns["single_frame_layer"]
-                               + cfgns["temporal_frame_layer"])
-    head["num_decoder"] = 2
+                               + cfgns["temporal_frame_layer"] * (N_LAYERS - 1))
+    head["num_decoder"] = N_LAYERS
     # reduced input size: banks' front-view pool kernel derives from it
     for bank in ("ego_instance_bank", "plan_instance_bank"):
         head[bank]["feature_map_scale"] = (H / 32, W / 32)
+    if topk:
+        head["with_topk_mode"] = True
+        head["topk_mode_list"] = list(TOPK_SCHEDULE)
+        head["plan_instance_bank"]["num_temp_mode"] = TOPK_TEMP_MODE
     head.pop("type")
 
     tdec = ns.onedecoder.SparseOneDecoder(**head)
@@ -224,55 +252,77 @@ def both():
           for k, v in tdec.state_dict().items()}
     params, stats = {}, {}
     cw.convert_decoder(sd, params, stats, operation_order=op_order)
+    tdec.double()  # AFTER extraction: both sides widen the same f32 bits
 
     # ---- our side
+    extra = {}
+    if topk:
+        extra = dict(with_topk_mode=True, topk_mode_list=TOPK_SCHEDULE,
+                     num_temp_plan_mode=TOPK_TEMP_MODE)
     cfg = stage2(
-        num_temporal_layers=1,
+        num_temporal_layers=N_LAYERS - 1,
         input_size=(H, W),
+        sampler="reference",     # row-gather parity oracle path
         sampler_cam_k=CAMS,      # exact semantics: every camera sampled
         sampler_point_frac=1.0,
         decoder_remat=False,
+        **extra,
     )
     ours = SparseOneDecoder(cfg)
-    t_fms1, j_fms1 = _feature_maps(11)
-    t_metas1, j_metas1 = _frame_metas(10.0, np.eye(4))
-
-    variables = jax.jit(ours.init)(jax.random.PRNGKey(0), j_fms1, j_metas1)
-
-    tgt_params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
-    merged, applied, unused = cw.merge_into({"decoder": tgt_params},
-                                            params)
-    assert not unused, f"converted params with no destination: {unused[:8]}"
-    new_vars = {"params": merged["decoder"]}
-    if "batch_stats" in variables:
-        tgt_stats = jax.tree_util.tree_map(np.asarray,
-                                           dict(variables["batch_stats"]))
-        merged_s, _, unused_s = cw.merge_into({"decoder": tgt_stats}, stats)
-        assert not unused_s, f"unused batch stats: {unused_s[:8]}"
-        new_vars["batch_stats"] = merged_s["decoder"]
-
-    apply = jax.jit(lambda v, f, m, b: ours.apply(v, f, m, bank_states=b))
-
-    # ---- frame 1
-    with torch.no_grad():
-        ref1 = tdec(torch.zeros(BS), t_fms1, t_metas1)
-    out1, banks1 = apply(new_vars, j_fms1, j_metas1, None)
-
-    # ---- frame 2: ego moved 1.5m forward, 0.1 rad yaw, 0.5s later
     Tg2 = np.eye(4)
     Tg2[:3, :3] = _rot_z(0.1)
     Tg2[0, 3], Tg2[1, 3] = 1.5, 0.3
-    t_fms2, j_fms2 = _feature_maps(23)
-    t_metas2, j_metas2 = _frame_metas(10.5, Tg2)
+
+    with enable_x64():
+        # jnp arrays must be created INSIDE the x64 scope or f64 truncates
+        t_fms1, j_fms1 = _feature_maps(11)
+        t_metas1, j_metas1 = _frame_metas(10.0, np.eye(4))
+        t_fms2, j_fms2 = _feature_maps(23)
+        t_metas2, j_metas2 = _frame_metas(10.5, Tg2)
+        variables = jax.jit(ours.init)(jax.random.PRNGKey(0), j_fms1, j_metas1)
+
+        as64 = lambda tree: jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
+            tree)
+        tgt_params = as64(dict(variables["params"]))
+        merged, applied, unused = cw.merge_into({"decoder": tgt_params}, params)
+        assert not unused, f"converted params with no destination: {unused[:8]}"
+        new_vars = {"params": as64(merged["decoder"])}
+        if "batch_stats" in variables:
+            tgt_stats = as64(dict(variables["batch_stats"]))
+            merged_s, _, unused_s = cw.merge_into({"decoder": tgt_stats}, stats)
+            assert not unused_s, f"unused batch stats: {unused_s[:8]}"
+            new_vars["batch_stats"] = as64(merged_s["decoder"])
+
+        apply = jax.jit(lambda v, f, m, b: ours.apply(v, f, m, bank_states=b))
+
+        # ---- frame 1
+        out1, banks1 = apply(new_vars, j_fms1, j_metas1, None)
+        # ---- frame 2: ego moved 1.5m forward, 0.3m left, 0.1 rad yaw, 0.5s on
+        out2, _ = apply(new_vars, j_fms2, j_metas2, banks1)
+        out1 = jax.tree_util.tree_map(np.asarray, out1)
+        out2 = jax.tree_util.tree_map(np.asarray, out2)
+
     with torch.no_grad():
+        ref1 = tdec(torch.zeros(BS), t_fms1, t_metas1)
         ref2 = tdec(torch.zeros(BS), t_fms2, t_metas2)
-    out2, _ = apply(new_vars, j_fms2, j_metas2, banks1)
 
     return ref1, out1, ref2, out2
 
 
-def _cmp(ref_list, ours_stacked, label, atol):
-    """ref: list of per-layer torch tensors; ours: [L, ...] jnp array."""
+@pytest.fixture(scope="module")
+def both():
+    return _build(topk=False)
+
+
+@pytest.fixture(scope="module")
+def both_topk():
+    return _build(topk=True)
+
+
+def _cmp(ref_list, ours_stacked, label, atol=ATOL):
+    """ref: list of per-layer torch tensors; ours: [L, ...] array."""
     ours = np.asarray(ours_stacked)
     assert len(ref_list) == ours.shape[0], label
     for layer, r in enumerate(ref_list):
@@ -282,64 +332,83 @@ def _cmp(ref_list, ours_stacked, label, atol):
         assert err <= atol, f"{label} layer {layer}: max|Δ|={err:.2e}"
 
 
-def _cmp_rows(ref_list, ours_stacked, label, atol, max_bad_frac=0.06):
-    """Frame-2 comparison robust to near-tie top-k ORDER swaps.
-
-    The det bank caches the top-600 of 900 instances sorted by confidence.
-    With randomized weights the sorted confidences are ~8e-4 apart while the
-    two implementations' logits agree only to float-reduction noise (~1e-4),
-    so a handful of adjacent cache slots legitimately swap — each swap puts a
-    *different instance* in a slot, a large positional diff that says nothing
-    about the math. A real wiring bug breaks EVERY row; swaps touch a few.
-    Assert: per-instance rows agree to ``atol`` except <= ``max_bad_frac``,
-    and the overall median is at float-noise level."""
+def _cmp_topk_plan(ref_list, ours_stacked, kind, label, atol=ATOL):
+    """Plan outputs under topk mode: the reference's per-layer tensors SHRINK
+    to ng*k_l live modes while ours pad the pruned tail back to the full
+    ng*48 with sentinels (static shapes); compare the live prefix per group."""
     ours = np.asarray(ours_stacked)
+    ng, per_full = 10, 48
     assert len(ref_list) == ours.shape[0], label
     for layer, r in enumerate(ref_list):
+        k = TOPK_SCHEDULE[layer]
         r = r.detach().numpy()
-        o = ours[layer].reshape(r.shape)
-        d = np.abs(r - o)
-        row = d.reshape(d.shape[0], d.shape[1], -1).max(-1)  # [bs, inst]
-        bad = float((row > atol).mean())
-        med = float(np.median(d))
-        assert bad <= max_bad_frac and med <= 1e-5, (
-            f"{label} layer {layer}: {bad*100:.2f}% rows >|{atol}|, "
-            f"median={med:.2e}")
+        if kind == "cls":  # ref [bs, 1, ng*k]; ours [bs, 1, ng*per_full]
+            o = ours[layer].reshape(BS, 1, ng, per_full)[..., :k]
+            r = r.reshape(BS, 1, ng, k)
+        else:  # reg: ref [bs, 1, ng*k, ts, 2]; ours [bs, 1, ng*per_full, ts, 2]
+            o = ours[layer].reshape(BS, 1, ng, per_full, -1)[..., :k, :]
+            r = r.reshape(BS, 1, ng, k, -1)
+        err = np.max(np.abs(r - o))
+        assert err <= atol, f"{label} layer {layer} (k={k}): max|Δ|={err:.2e}"
 
 
 FAMILIES = [
-    # (task, ref key, our key, atol)
-    ("det", "classification", "classification", 2e-3),
-    ("det", "prediction", "prediction", 2e-3),
-    ("det", "quality", "quality", 2e-3),
-    ("map", "classification", "classification", 2e-3),
-    ("map", "prediction", "prediction", 2e-3),
-    ("ego", "status", "status", 2e-3),
-    ("plan", "classification", "classification", 2e-3),
-    ("plan", "prediction", "prediction", 2e-3),
-    ("motion", "classification", "classification", 2e-3),
-    ("motion", "prediction", "prediction", 2e-3),
+    # (task, ref key, our key)
+    ("det", "classification", "classification"),
+    ("det", "prediction", "prediction"),
+    ("det", "quality", "quality"),
+    ("map", "classification", "classification"),
+    ("map", "prediction", "prediction"),
+    ("ego", "status", "status"),
+    ("plan", "classification", "classification"),
+    ("plan", "prediction", "prediction"),
+    ("motion", "classification", "classification"),
+    ("motion", "prediction", "prediction"),
 ]
 
 TASK_INDEX = {"det": 0, "map": 1, "ego": 2, "plan": 3, "motion": 4}
 
 
-@pytest.mark.parametrize("task,rkey,okey,atol", FAMILIES)
-def test_frame1_outputs(both, task, rkey, okey, atol):
+@pytest.mark.parametrize("task,rkey,okey", FAMILIES)
+def test_frame1_outputs(both, task, rkey, okey):
     ref1, out1, _, _ = both
     _cmp(ref1[TASK_INDEX[task]][rkey], out1[task][okey],
-         f"frame1 {task}.{okey}", atol)
+         f"frame1 {task}.{okey}")
 
 
-@pytest.mark.parametrize("task,rkey,okey,atol", FAMILIES)
-def test_frame2_temporal_outputs(both, task, rkey, okey, atol):
+@pytest.mark.parametrize("task,rkey,okey", FAMILIES)
+def test_frame2_temporal_outputs(both, task, rkey, okey):
     _, _, ref2, out2 = both
-    _cmp_rows(ref2[TASK_INDEX[task]][rkey], out2[task][okey],
-              f"frame2 {task}.{okey}", atol)
+    _cmp(ref2[TASK_INDEX[task]][rkey], out2[task][okey],
+         f"frame2 {task}.{okey}")
 
 
 def test_frame2_instance_ids_match(both):
     _, _, ref2, out2 = both
     rid = ref2[0]["instance_id"].detach().numpy()
     oid = np.asarray(out2["det"]["instance_id"]).reshape(rid.shape)
-    assert (rid == oid).mean() > 0.9
+    assert (rid == oid).all()
+
+
+@pytest.mark.parametrize("task,rkey,okey", FAMILIES)
+def test_topk_frame1_outputs(both_topk, task, rkey, okey):
+    ref1, out1, _, _ = both_topk
+    if task == "plan":
+        _cmp_topk_plan(ref1[TASK_INDEX[task]][rkey], out1[task][okey],
+                       "cls" if rkey == "classification" else "reg",
+                       f"topk frame1 plan.{okey}")
+    else:
+        _cmp(ref1[TASK_INDEX[task]][rkey], out1[task][okey],
+             f"topk frame1 {task}.{okey}")
+
+
+@pytest.mark.parametrize("task,rkey,okey", FAMILIES)
+def test_topk_frame2_temporal_outputs(both_topk, task, rkey, okey):
+    _, _, ref2, out2 = both_topk
+    if task == "plan":
+        _cmp_topk_plan(ref2[TASK_INDEX[task]][rkey], out2[task][okey],
+                       "cls" if rkey == "classification" else "reg",
+                       f"topk frame2 plan.{okey}")
+    else:
+        _cmp(ref2[TASK_INDEX[task]][rkey], out2[task][okey],
+             f"topk frame2 {task}.{okey}")

@@ -70,6 +70,61 @@ def test_sharded_step_equals_single_device():
     assert worst < 1e-3, f"param update divergence {worst}"
 
 
+def test_stage2_shaped_sharded_train_step():
+    """The DP invariant at STAGE-2 query structure: the full train step
+    (forward + all losses + Hungarian targets + backward + AdamW) over the
+    8-device CPU mesh equals the 1-device step — with the real 900/100/480/1
+    query sections, 10 plan anchor types and the motion task, which the
+    tiny() variant above does not exercise. Backbone/input are shrunk and
+    the op program cut to 1 single-frame + 1 temporal layer (sections and
+    both op programs are what change between tiny and stage-2; depth just
+    repeats the temporal layer)."""
+    cfg = stage2(
+        input_size=(64, 96),
+        backbone_stage_blocks=(1, 1, 1, 1),
+        backbone_base_planes=16,
+        backbone_remat=False,
+        decoder_remat=False,
+        num_temporal_layers=1,
+    )
+    tx = optim.make_optimizer(total_steps=10)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx,
+                                      batch_size=1, dtype=None)
+    global_bs = 8
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic.make_batch(cfg, global_bs).items()}
+    banks = init_bank_states(cfg, global_bs, feature_dtype=jnp.float32)
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for name, n_dev in (("sharded", 8), ("single", 1)):
+        mesh = mesh_lib.make_mesh(jax.devices()[:n_dev])
+        st = mesh_lib.replicate(mesh, state)
+        bt = mesh_lib.shard_batch(mesh, batch)
+        bk = mesh_lib.shard_batch(mesh, banks)
+        step = jit_train_step(cfg, model, mesh, donate=False)
+        new_state, _, metrics = step(st, bk, bt, rng)
+        results[name] = (
+            {k: float(v) for k, v in metrics.items()},
+            new_state.params,
+        )
+
+    m8, p8 = results["sharded"]
+    m1, p1 = results["single"]
+    for k in m1:
+        # same discrete-sensitivity band as the tiny variant above: a real
+        # per-shard normalizer bug is off by ~n_devices, not 1%
+        np.testing.assert_allclose(
+            m8[k], m1[k], rtol=1e-2, atol=1e-5,
+            err_msg=f"metric {k!r} diverges between 1- and 8-device meshes "
+                    "(per-shard loss normalizer?)")
+    flat8 = jax.tree_util.tree_leaves(p8)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(flat8, flat1))
+    assert worst < 1e-3, f"param update divergence {worst}"
+
+
 def test_stage2_shaped_sections_forward():
     """Stage-2 query/section structure (900/100/480/1 queries, 6 decoder
     layers, 10 plan anchor types, motion task) compiles and runs on the CPU

@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hipad_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from hipad_tpu.configs.model import stage2
 from hipad_tpu.data import synthetic
 from hipad_tpu.models.detector import HiPAD

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from hipad_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def run_model(overrides, frames=3, bs=1):
     from hipad_tpu.configs.model import stage2

@@ -1,0 +1,169 @@
+"""End-to-end accuracy cost of the serving-config approximations.
+
+Round-2 verdict item 3: every serving knob (`sampler_cam_k` + renorm,
+`sampler_point_frac`) has an op-level error-bound test
+(tests/test_sampling.py), but nothing measured what the knobs do to the
+FINAL decoded outputs through the full 6-layer decoder. This tool runs the
+decoder with shared weights on shared inputs — exact semantics
+(cam_k=6, frac=1.0, the reference's `deformable_aggregation_cuda.cu:129-187`
+samples everything) vs each approximation level — over a two-frame temporal
+episode, and reports per-task deltas of the outputs that matter downstream:
+
+  * det: decoded-box center L2 and max-class-score delta over the exact
+    config's top-100 scoring anchors (the det decoder keeps 300);
+  * map: polyline point L2 over the exact top-20 lines;
+  * plan: decoded closed-loop trajectory L2 (post_process_arrays'
+    plan_speed_5hz, the array the PID consumes) + whether any cmd/group's
+    argmax mode flipped.
+
+Run: `python tools/serving_error_sweep.py [--platform cpu] [--half-res]`
+Prints a markdown table (the README serving-accuracy table is generated
+from this) plus one JSON line per row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--half-res", action="store_true",
+                    help="176x320 feature pyramid (faster; frac/cam errors "
+                         "are resolution-insensitive)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hipad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from hipad_tpu import postprocess
+    from hipad_tpu.configs.model import stage2
+    from hipad_tpu.data import synthetic
+    from hipad_tpu.models.decoder import SparseOneDecoder
+
+    size = (176, 320) if args.half_res else (352, 640)
+    base = dict(input_size=size, decoder_remat=False)
+    exact_cfg = stage2(sampler_cam_k=6, sampler_cam_renorm=False,
+                       sampler_point_frac=1.0, **base)
+
+    rs = np.random.RandomState(args.seed)
+    h, w = size
+
+    def fmaps(seed):
+        r = np.random.RandomState(seed)
+        return [jnp.asarray(r.randn(1, 6, h // s, w // s, 256)
+                            .astype(np.float32) * 0.5)
+                for s in (4, 8, 16, 32)]
+
+    def metas(t, seed):
+        m = synthetic.make_metas(exact_cfg, 1, seed=seed, timestamp=t,
+                                 ego_xy=(0.5 * t, 0.1 * t))
+        return {k: jnp.asarray(v) for k, v in m.items() if k != "focal"}
+
+    f1, f2 = fmaps(11), fmaps(23)
+    m1, m2 = metas(0.0, 7), metas(0.5, 7)
+
+    model0 = SparseOneDecoder(exact_cfg)
+    variables = jax.jit(model0.init)(jax.random.PRNGKey(args.seed), f1, m1)
+
+    def run(cfg):
+        model = SparseOneDecoder(cfg)
+
+        @jax.jit
+        def apply(v, f, m, b):
+            out, banks = model.apply(v, f, m, bank_states=b)
+            dec = postprocess.post_process_arrays(
+                cfg, out, m["gt_ego_fut_cmd"], with_rescore=False)
+            keep = {
+                "det_cls": out["det"]["classification"][-1],
+                "det_box": out["det"]["prediction"][-1],
+                "map_cls": out["map"]["classification"][-1],
+                "map_pts": out["map"]["prediction"][-1],
+                "plan_cls": out["plan"]["classification"][-1],
+                "traj": dec["plan_speed_5hz"],
+            }
+            return keep, banks
+
+        o1, banks = apply(variables, f1, m1, None)
+        o2, _ = apply(variables, f2, m2, banks)
+        return [jax.tree_util.tree_map(np.asarray, o) for o in (o1, o2)]
+
+    exact = run(exact_cfg)
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def deltas(approx):
+        out = {}
+        for fi, (e, a) in enumerate(zip(exact, approx), start=1):
+            ecls = e["det_cls"].reshape(-1, e["det_cls"].shape[-1])
+            acls = a["det_cls"].reshape(ecls.shape)
+            score = sig(ecls).max(-1)
+            top = np.argsort(-score)[:100]
+            ebox = e["det_box"].reshape(ecls.shape[0], -1)
+            abox = a["det_box"].reshape(ebox.shape)
+            out[f"f{fi}_det_center_l2"] = float(np.mean(np.linalg.norm(
+                ebox[top, :3] - abox[top, :3], axis=-1)))
+            out[f"f{fi}_det_score_d"] = float(np.mean(np.abs(
+                sig(ecls[top]).max(-1) - sig(acls[top]).max(-1))))
+
+            emc = e["map_cls"].reshape(-1, e["map_cls"].shape[-1])
+            mtop = np.argsort(-sig(emc).max(-1))[:20]
+            empts = e["map_pts"].reshape(emc.shape[0], -1, 2)
+            ampts = a["map_pts"].reshape(empts.shape)
+            out[f"f{fi}_map_pt_l2"] = float(np.mean(np.linalg.norm(
+                empts[mtop] - ampts[mtop], axis=-1)))
+
+            etraj = e["traj"].reshape(-1, 2)
+            atraj = a["traj"].reshape(etraj.shape)
+            out[f"f{fi}_plan_l2"] = float(np.mean(np.linalg.norm(
+                etraj - atraj, axis=-1)))
+            epc = e["plan_cls"].reshape(10, -1)  # [group, cmd*mode]
+            apc = a["plan_cls"].reshape(epc.shape)
+            out[f"f{fi}_mode_flips"] = int(
+                (epc.argmax(-1) != apc.argmax(-1)).sum())
+        return out
+
+    rows = []
+    sweeps = [("cam_k=3 (exact-rig)", dict(sampler_cam_k=3,
+                                           sampler_cam_renorm=False,
+                                           sampler_point_frac=1.0))]
+    for frac in (1.0, 0.5, 0.34, 0.25, 0.2):
+        sweeps.append((f"cam_k=2+renorm, frac={frac}",
+                       dict(sampler_cam_k=2, sampler_cam_renorm=True,
+                            sampler_point_frac=frac)))
+    for name, knobs in sweeps:
+        cfg = stage2(**base, **knobs)
+        d = deltas(run(cfg))
+        d["config"] = name
+        rows.append(d)
+        print(json.dumps(d), flush=True)
+
+    cols = ["f2_det_center_l2", "f2_det_score_d", "f2_map_pt_l2",
+            "f2_plan_l2", "f2_mode_flips"]
+    print("\n| config | det center L2 (m) | det score Δ | map pt L2 (m) "
+          "| plan traj L2 (m) | mode flips |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print("| " + r["config"] + " | "
+              + " | ".join(f"{r[c]:.4g}" for c in cols) + " |")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from hipad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from hipad_tpu.configs import model as cfgs
     from hipad_tpu.data.bench2drive import Bench2DriveDataset
     from hipad_tpu.eval import planning as plan_eval

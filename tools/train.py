@@ -72,6 +72,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from hipad_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from hipad_tpu.configs import model as cfgs
     from hipad_tpu.data import synthetic
     from hipad_tpu.parallel import mesh as mesh_lib
