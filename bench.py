@@ -47,6 +47,8 @@ def main(sync=False, bs=1, config="stage2", **overrides):
     from hipad_tpu.train.train_step import META_KEYS
 
     cfg = getattr(config_lib, config)(**overrides)
+    # refuse shapes that hard-crash the axon TPU worker (repro_bs2_fault.py)
+    config_lib.assert_supported_batch(cfg, bs)
     model = HiPAD(cfg, dtype=jnp.bfloat16)
     # bs > 1 = several independent closed-loop streams batched per chip —
     # the 40 fps/GPU baseline is itself a 2-sims-per-GPU aggregate
@@ -76,38 +78,53 @@ def main(sync=False, bs=1, config="stage2", **overrides):
     # Tunnel round-trip floor (trivial op, hard-synced): subtracted from the
     # per-frame time so the metric reflects device time, not the axon
     # tunnel's ~26 ms dispatch round trip (absent in a real deployment).
+    # Measured INTERLEAVED with the frame loop (not once up front): the
+    # tunnel's RTT drifts by >100 ms across minutes (round-3 artifact:
+    # a pre-measured 172 ms RTT vs a 90 ms frame produced a clamped
+    # "1e9 fps" — see PERF_NOTES "Benchmark honesty").
     @jax.jit
     def _triv(c):
         return c + 1, (c * 2).astype(jnp.float32)
     c = jnp.int32(1)
     c, v = _triv(c); float(v)
-    rtts = []
-    for i in range(8):
+
+    def _measure_rtt():
+        nonlocal c
         t0 = time.perf_counter()
         c, v = _triv(c)
         float(v)
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
+        return time.perf_counter() - t0
 
     # Per-frame HARD sync: a host transfer of a computed value from EVERY
     # dispatch — nothing can pipeline/dedup/return-early (the tunnel's
     # block_until_ready lies; an un-synced chain once "measured" 490 fps).
     banks = banks0
-    times = []
+    times, rtts = [], []
     for i in range(N_ITERS):
+        rtts.append(_measure_rtt())
         t0 = time.perf_counter()
         wp, banks = step(variables, frames[i % 4], metas, banks)
         float(jnp.sum(wp))
         times.append(time.perf_counter() - t0)
+    rtts.append(_measure_rtt())
     times = sorted(times)
+    rtt = sorted(rtts)[len(rtts) // 2]
     if sync:
         print({"per_frame_ms": [round(t * 1e3, 2) for t in times],
-               "rtt_ms": round(rtt * 1e3, 2)})
+               "rtt_ms_all": [round(t * 1e3, 2) for t in rtts]})
     med = times[len(times) // 2]
-    dt = max(med - rtt, 1e-9)
-    fps = bs / dt
 
-    print(json.dumps({
+    # Sanity: the RTT adjustment is only meaningful when the dispatch
+    # round-trip is a minor share of the frame. If the tunnel is sick
+    # (rtt > 0.5*med), REFUSE the subtraction and report the raw wall
+    # rate with an anomaly flag instead of an inflated estimate.
+    rtt_anomaly = rtt > 0.5 * med
+    if rtt_anomaly:
+        fps = bs / med
+    else:
+        fps = bs / (med - rtt)
+
+    record = {
         "metric": "e2e_forward_fps_1chip",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -118,7 +135,10 @@ def main(sync=False, bs=1, config="stage2", **overrides):
         "fps_unadjusted": round(bs / med, 2),
         "rtt_ms": round(rtt * 1e3, 2),
         "config": config, "bs": bs,
-    }))
+    }
+    if rtt_anomaly:
+        record["rtt_anomaly"] = True  # value == fps_unadjusted (no subtraction)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -105,6 +105,12 @@ class HiPADConfig:
     backbone_stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)
     backbone_base_planes: int = 64
     backbone_remat: bool = True
+    # Stages whose blocks are rematerialized when backbone_remat is on.
+    # Activation memory lives in the early (large-H*W) stages while replay
+    # FLOPs are ~uniform per stage, so dropping the late stages from the
+    # remat set trades a little memory for less recompute
+    # (A/B in tools/bench_train.py --remat-stages).
+    backbone_remat_stages: Tuple[int, ...] = (0, 1, 2, 3)
     use_grid_mask: bool = True
 
     # --- det --------------------------------------------------------------
@@ -217,6 +223,17 @@ class HiPADConfig:
     # (ops/sampling.py:deformable_aggregation_topk point_k).
     sampler_point_frac: float = 1.0
     sampler_matmul_levels: Tuple[int, ...] = (2, 3)
+    # Per-sample GATHER-level top-k by softmax weight mass (serving knob;
+    # None = exact). Each compacted (point, camera) sample keeps only its
+    # `level_k` highest-mass fine levels (the levels not in
+    # sampler_matmul_levels), sampled from a combined zero-padded fine
+    # pyramid with ONE patch gather per kept level — gather rows drop by
+    # n_fine/level_k. With sampler_level_renorm=True the kept levels'
+    # per-group mass is renormalised to the full fine mass (exact no-op
+    # whenever the dropped levels carry zero weight; error bounds in
+    # tests/test_sampling.py::test_level_topk_*).
+    sampler_level_k: Optional[int] = None
+    sampler_level_renorm: bool = True
     # Gather each sample's whole (2,2,C) bilinear patch as ONE pre-packed
     # 4C row (ops/sampling.py:build_packed_level) instead of a (2,2,C)
     # slice gather — XLA:TPU gathers are per-row latency-bound.
@@ -425,6 +442,38 @@ def stage1(kmeans_dir: str = REFERENCE_KMEANS_DIR, **overrides) -> HiPADConfig:
     overrides.setdefault("plan_anchor_refer", ("temp", "2hz"))
     overrides.setdefault("plan_speed_refer", ("temp", "2hz"))
     return stage2(kmeans_dir, **overrides)
+
+
+def assert_supported_batch(cfg: HiPADConfig, batch_size: int,
+                           backend: Optional[str] = None) -> None:
+    """Refuse batch shapes known to hard-crash the axon/libtpu worker.
+
+    bs>=2 at full input resolution with camera compaction (cam_k < num_cams)
+    AND keypoint pruning (point_frac < 1) AND matmul levels enabled kills the
+    TPU worker process in the sampler's compiled program — NOT an OOM (XLA
+    reports ~1 GB of a 16 GB HBM); bisected in tools/repro_bs2_fault.py with
+    the full probe matrix in tools/PERF_NOTES.md. Workarounds: bs=1 (the
+    shipped serving shape — batching is sublinear here anyway, PERF_NOTES),
+    half resolution, or disabling any ONE of the three sampler features.
+    Call this before dispatching a multi-sample forward on the TPU backend.
+    """
+    import jax as _jax
+
+    backend = backend or _jax.default_backend()
+    if (backend not in ("cpu",) and batch_size >= 2
+            and cfg.input_size[0] >= 352
+            and cfg.sampler == "topk"
+            and cfg.sampler_cam_k < cfg.num_cams
+            and cfg.sampler_point_frac < 1.0
+            and cfg.sampler_matmul_levels):
+        raise ValueError(
+            f"batch_size={batch_size} at input_size={cfg.input_size} with "
+            f"sampler_cam_k={cfg.sampler_cam_k} + sampler_point_frac="
+            f"{cfg.sampler_point_frac} + matmul levels crashes the TPU "
+            "worker on this libtpu/axon stack (see tools/repro_bs2_fault.py "
+            "and tools/PERF_NOTES.md). Use bs=1, half resolution, or set "
+            "sampler_point_frac=1.0 / sampler_cam_k=6 / "
+            "sampler_matmul_levels=().")
 
 
 def stage2_serving(kmeans_dir: str = REFERENCE_KMEANS_DIR,

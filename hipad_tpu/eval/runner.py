@@ -212,9 +212,14 @@ def run_openloop_eval(
     import jax.numpy as jnp
 
     from .. import postprocess
+    from ..configs.model import assert_supported_batch
     from ..models.detector import HiPAD
     from ..train.train_step import META_KEYS
 
+    if batch_slots > 1:
+        # refuse shapes that hard-crash the axon TPU worker
+        # (tools/repro_bs2_fault.py, tools/PERF_NOTES.md)
+        assert_supported_batch(cfg, batch_slots)
     model = HiPAD(cfg, dtype=dtype)
 
     @jax.jit

@@ -74,6 +74,11 @@ class ResNet(nn.Module):
     base_planes: int = 64
     out_indices: Sequence[int] = (0, 1, 2, 3)
     remat: bool = False
+    # which stages get per-block remat when ``remat`` is on. Memory lives in
+    # the EARLY stages (large H x W); replay FLOPs are ~uniform per stage in
+    # a ResNet — so rematting only stages 0-1 keeps most of the memory win
+    # while skipping half the recompute (measured A/B in tools/bench_train).
+    remat_stages: Sequence[int] = (0, 1, 2, 3)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -90,8 +95,11 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         outs = []
-        block_cls = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        remat_block = nn.remat(Bottleneck, static_argnums=(2,))
         for stage, num_blocks in enumerate(self.stage_blocks):
+            block_cls = (remat_block
+                         if self.remat and stage in self.remat_stages
+                         else Bottleneck)
             planes = self.base_planes * (2**stage)
             for b in range(num_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
@@ -152,6 +160,7 @@ class ResNetFPN(nn.Module):
     base_planes: int = 64
     out_channels: int = 256
     remat: bool = False
+    remat_stages: Sequence[int] = (0, 1, 2, 3)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -162,6 +171,7 @@ class ResNetFPN(nn.Module):
             stage_blocks=self.stage_blocks,
             base_planes=self.base_planes,
             remat=self.remat,
+            remat_stages=self.remat_stages,
             dtype=self.dtype,
             name="resnet",
         )(x, train)

@@ -95,6 +95,16 @@ class SparseOneDecoder(nn.Module):
         has_temp = bank_states is not None
         qs = cfg.query_select
 
+        # Combined fine pyramid for the level-k sampler, built ONCE per
+        # forward and threaded to every deformable op (the pad+concat must
+        # not be re-materialised per task-layer call site).
+        fine_comb = None
+        if cfg.sampler == "topk" and cfg.sampler_level_k is not None:
+            from ..ops.sampling import build_fine_comb
+
+            fine_comb = build_fine_comb(feature_maps,
+                                        cfg.sampler_matmul_levels)
+
         # ============== bank parameters =================================
         det_anchor_p = self.param("det_anchor", lambda k: jnp.asarray(cfg.det_anchor, jnp.float32))
         det_feat_p = self.param("det_feature", nn.initializers.zeros, (cfg.num_det_anchor, C))
@@ -379,6 +389,8 @@ class SparseOneDecoder(nn.Module):
                     sampler=cfg.sampler, sampler_cam_k=cfg.sampler_cam_k,
                     sampler_cam_renorm=cfg.sampler_cam_renorm,
                     sampler_matmul_levels=cfg.sampler_matmul_levels,
+                    sampler_level_k=cfg.sampler_level_k,
+                    sampler_level_renorm=cfg.sampler_level_renorm,
                     sampler_row_packed=cfg.sampler_row_packed,
                     sampler_point_frac=cfg.sampler_point_frac,
                     dtype=self.dtype,
@@ -442,6 +454,9 @@ class SparseOneDecoder(nn.Module):
                         matmul_levels=cfg.sampler_matmul_levels,
                         row_packed=cfg.sampler_row_packed,
                         cam_renorm=cfg.sampler_cam_renorm,
+                        level_k=cfg.sampler_level_k,
+                        level_renorm=cfg.sampler_level_renorm,
+                        fine_comb=fine_comb,
                     )  # [bs, SUM(n*p), C]
                     for q in qs:
                         s, e, nq, pq = spans[q]
@@ -451,7 +466,7 @@ class SparseOneDecoder(nn.Module):
                     for q in qs:
                         feat[q] = modules[q](
                             feat[q], anchor[q], deform_embed[q], feature_maps,
-                            projection_mat, image_wh, det,
+                            projection_mat, image_wh, det, fine_comb,
                         )
                 deform_i += 1
 

@@ -42,6 +42,10 @@ class DeformableAggregation(nn.Module):
     # keep ceil(frac * num_pts) keypoints per query by weight mass
     # (1.0 = exact reference semantics; see ops/sampling.py point_k)
     sampler_point_frac: float = 1.0
+    # keep the top `level_k` fine (gather) levels per sample by weight mass
+    # (None = exact; see ops/sampling.py level_k)
+    sampler_level_k: Optional[int] = None
+    sampler_level_renorm: bool = True
     # When > 0, `anchor_embed` is a per-sample-point embedding
     # [bs, n * use_points_embed, C] and the weights head consumes the
     # points-expanded feature (`blocks.py:178-189`, use_points_embed path).
@@ -163,6 +167,7 @@ class DeformableAggregation(nn.Module):
         projection_mat: jnp.ndarray,
         image_wh: jnp.ndarray,
         deterministic: bool = True,
+        fine_comb: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         pts2d, w = self.prepare(instance_feature, anchor, anchor_embed,
                                 projection_mat, image_wh, deterministic)
@@ -181,6 +186,9 @@ class DeformableAggregation(nn.Module):
                 matmul_levels=self.sampler_matmul_levels,
                 row_packed=self.sampler_row_packed,
                 cam_renorm=self.sampler_cam_renorm,
+                level_k=self.sampler_level_k,
+                level_renorm=self.sampler_level_renorm,
+                fine_comb=fine_comb,
             )
         else:
             features = deformable_aggregation(feature_maps, pts2d, w)

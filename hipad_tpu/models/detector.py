@@ -31,6 +31,7 @@ class HiPAD(nn.Module):
             base_planes=c.backbone_base_planes,
             out_channels=c.embed_dims,
             remat=c.backbone_remat,
+            remat_stages=c.backbone_remat_stages,
             dtype=self.dtype,
         )
         self.decoder = SparseOneDecoder(c, dtype=self.dtype)

@@ -631,10 +631,17 @@ def _segment_fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
 def _fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
     """Feature-map adjoint dispatcher: chunked einsum (default; ~83% of MXU
     peak, measured) or sort+segment (``HIPAD_FMGRAD=segment`` — fewer FLOPs
-    but sort/cumsum-bound at stage-2 scale; see _segment_fmap_grad)."""
+    but sort/cumsum-bound at stage-2 scale; see _segment_fmap_grad).
+    ``HIPAD_FMGRAD=hybrid`` picks per level: segment for the large-H*W
+    level 0 (where the dense einsum's 2*M*R*W*C FLOPs are largest and the
+    two formulations measured a tie at stage-2 scale, with segment winning
+    at 2x res), dense for the smaller levels (where the flat ~33 ms sort
+    cost dominates the shrunken einsum)."""
     import os
 
-    if os.environ.get("HIPAD_FMGRAD") == "segment":
+    mode = os.environ.get("HIPAD_FMGRAD", "")
+    if mode == "segment" or (
+            mode == "hybrid" and feat.shape[2] * feat.shape[3] >= 10000):
         return _segment_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
     return _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out)
 
@@ -675,6 +682,22 @@ def _dense_fmap_grad(feat, cam, sy, sx, wy, wx, g_out):
     return g_acc.reshape(bs, cams, H, W, C).astype(feat.dtype)
 
 
+def build_fine_comb(feature_maps: Sequence[jnp.ndarray],
+                    matmul_levels: Sequence[int]) -> jnp.ndarray:
+    """Combined fine (gather-level) pyramid for the ``level_k`` sampler: each
+    gather level zero-padded to the largest fine H x W and stacked along the
+    camera axis -> ``[bs, n_gl*cams, Hm, Wm, C]``. Build ONCE per forward and
+    pass to :func:`deformable_samples_topk_flat` as ``fine_comb``."""
+    gl = [l for l in range(len(feature_maps)) if l not in matmul_levels]
+    Hm = max(feature_maps[l].shape[2] for l in gl)
+    Wm = max(feature_maps[l].shape[3] for l in gl)
+    return jnp.concatenate(
+        [jnp.pad(feature_maps[l],
+                 ((0, 0), (0, 0), (0, Hm - feature_maps[l].shape[2]),
+                  (0, Wm - feature_maps[l].shape[3]), (0, 0)))
+         for l in gl], axis=1)
+
+
 def deformable_samples_topk_flat(
     feature_maps: Sequence[jnp.ndarray],
     points_2d: jnp.ndarray,  # [bs, M, cams, 2]
@@ -684,6 +707,9 @@ def deformable_samples_topk_flat(
     dense_fmap_grad: bool = True,
     row_packed: bool = False,
     cam_renorm: bool = False,
+    level_k: int | None = None,
+    level_renorm: bool = True,
+    fine_comb: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Flat per-sample core of the production sampler: -> [bs, M, C] weighted
     features summed over cameras/levels (the caller reduces over its own
@@ -692,7 +718,24 @@ def deformable_samples_topk_flat(
 
     ``dense_fmap_grad`` routes the gather levels through
     :func:`patch_bilinear`, replacing the scatter feature-map adjoint with
-    chunked matmuls (same forward values; see its docstring)."""
+    chunked matmuls (same forward values; see its docstring).
+
+    ``level_k`` (serving-path approximation, config-gated): per compacted
+    sample, keep only the ``level_k`` GATHER levels (levels not in
+    ``matmul_levels``) with the largest group-weight mass — the softmax over
+    (cam, level, pt, group) in the reference (`blocks.py:178-214`) is as
+    prunable by level as by camera, and the fine levels carry all the
+    gather rows. Implemented as ONE patch gather per kept (sample, level
+    slot) from a combined fine pyramid (each gather level zero-padded to
+    the largest fine H x W and stacked along the camera axis), so the row
+    count drops by ``len(gather_levels) / level_k``. ``level_renorm``
+    rescales each kept sample's per-group fine-level mass to the full fine
+    mass, the same unbiasing as ``cam_renorm``. Exact whenever the dropped
+    levels carry zero weight. Only the dense-fmap-grad patch path supports
+    it (``row_packed`` and the oracle path ignore it). ``fine_comb`` lets
+    the caller pass the combined pyramid built ONCE per forward
+    (:func:`build_fine_comb`) instead of relying on XLA to CSE the
+    pad+concat across the up-to-24 per-task-per-layer call sites."""
     bs, M0, num_cams, _ = points_2d.shape
     num_levels = len(feature_maps)
     channels = feature_maps[0].shape[-1]
@@ -743,6 +786,62 @@ def deformable_samples_topk_flat(
     two = jnp.arange(2, dtype=points_2d.dtype)
     out = jnp.zeros((bs, M0, channels), dtype=weights.dtype)
 
+    gather_levels = [l for l in range(num_levels)
+                     if l not in matmul_levels and l < num_levels]
+    use_level_k = (level_k is not None and 0 < level_k < len(gather_levels)
+                   and dense_fmap_grad and not row_packed)
+    if use_level_k:
+        n_gl = len(gather_levels)
+        # per-sample in-bounds group-weight mass per gather level (w already
+        # carries the inside mask and any cam renormalisation)
+        w_gl = w[:, :, gather_levels, :]  # [bs, M, n_gl, G]
+        mass = w_gl.sum(-1).astype(jnp.float32)
+        lidx = topk_by_argmax(mass, level_k)  # [bs, M, k]
+        sel = jax.nn.one_hot(lidx, n_gl, dtype=weights.dtype)  # [bs,M,k,n_gl]
+        if level_renorm:
+            full = w_gl.sum(axis=2)  # [bs, M, G]
+            kept = jnp.einsum("bmkl,bmlg->bmg", sel, w_gl)
+            ratio = full / jnp.maximum(kept, 1e-9)  # [bs, M, G]
+        # Combined fine pyramid: pad every gather level to the largest fine
+        # H x W, stack along cams -> [bs, n_gl*cams, Hm, Wm, C]. Patch starts
+        # are clipped to each level's TRUE dims so the zero pad is never
+        # addressed. Built once per forward by the decoder (build_fine_comb)
+        # and passed in; the in-place build exists for standalone callers.
+        comb = (fine_comb if fine_comb is not None
+                else build_fine_comb(feature_maps, matmul_levels))
+        # per-gather-level continuous pixel coords + clip caps, selected
+        # per sample by the chosen level (one-hot over n_gl: cheap VPU)
+        pxs = jnp.stack([x * feature_maps[l].shape[3] - 0.5
+                         for l in gather_levels], axis=-1)  # [bs, M, n_gl]
+        pys = jnp.stack([y * feature_maps[l].shape[2] - 0.5
+                         for l in gather_levels], axis=-1)
+        ycap = jnp.asarray([feature_maps[l].shape[2] - 2
+                            for l in gather_levels], pys.dtype)
+        xcap = jnp.asarray([feature_maps[l].shape[3] - 2
+                            for l in gather_levels], pxs.dtype)
+        for j in range(level_k):
+            sj = sel[:, :, j]  # [bs, M, n_gl]
+            sjc = sj.astype(pxs.dtype)
+            px = (pxs * sjc).sum(-1)
+            py = (pys * sjc).sum(-1)
+            sy = jnp.clip(jnp.floor(py), 0, (ycap * sjc).sum(-1)
+                          ).astype(jnp.int32)
+            sx = jnp.clip(jnp.floor(px), 0, (xcap * sjc).sum(-1)
+                          ).astype(jnp.int32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+                py[..., None] - (sy[..., None] + two)))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+                px[..., None] - (sx[..., None] + two)))
+            wsel = jnp.einsum("bml,bmlg->bmg", sj, w_gl)  # [bs, M, G]
+            if level_renorm:
+                wsel = wsel * ratio
+            camj = lidx[:, :, j].astype(jnp.int32) * num_cams + cam
+            sampled = patch_bilinear_w(
+                comb, camj, sy, sx,
+                wy.astype(weights.dtype), wx.astype(weights.dtype), wsel)
+            contrib = sampled.reshape(bs, M0, cam_k, channels)
+            out = out + contrib.sum(axis=2).astype(out.dtype)
+
     # Coarse levels: dense per-camera MXU sampling on the UNcompacted samples
     # (compaction scrambles the camera blocks the interp operand needs; at
     # these HW the matmul is cheap enough to keep all cameras).
@@ -758,6 +857,9 @@ def deformable_samples_topk_flat(
     for lvl in range(num_levels):
         feat = feature_maps[lvl]  # [bs, cams, H, W, C]
         h_l, w_l = feat.shape[2], feat.shape[3]
+
+        if use_level_k and lvl in gather_levels:
+            continue  # handled by the combined-pyramid level-k path above
 
         if lvl in matmul_levels:
             fm = feat.reshape(Bfull, h_l, w_l, channels)
@@ -825,6 +927,9 @@ def deformable_aggregation_topk(
     cam_renorm: bool = False,
     point_k: int | None = None,
     point_renorm: bool = True,
+    level_k: int | None = None,
+    level_renorm: bool = True,
+    fine_comb: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Camera-compacted hybrid sampler — the production TPU path.
 
@@ -879,7 +984,8 @@ def deformable_aggregation_topk(
                         weights.shape[-2], weights.shape[-1]),
         cam_k=cam_k, matmul_levels=matmul_levels,
         dense_fmap_grad=dense_fmap_grad, row_packed=row_packed,
-        cam_renorm=cam_renorm,
+        cam_renorm=cam_renorm, level_k=level_k, level_renorm=level_renorm,
+        fine_comb=fine_comb,
     )
     return flat.reshape(bs, num_anchor, num_pts, -1).sum(axis=2)
 

@@ -36,6 +36,6 @@ def enable_persistent_cache() -> str | None:
     # Cache every program regardless of compile time / size: the small
     # programs here are dispatch-trivial but the BIG ones are the point,
     # and the default min-compile-time heuristic skips mid-sized ones.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return cache_dir

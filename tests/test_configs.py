@@ -56,3 +56,23 @@ def test_tiny_builds():
     c = cfgs.tiny()
     assert c.num_det_anchor > 0
     assert np.isfinite(c.det_anchor).all()
+
+
+def test_bs2_fault_fence():
+    """The bs>=2 full-res + compaction + point-pruning combination hard-
+    crashes the axon TPU worker (tools/repro_bs2_fault.py); the guard must
+    refuse it on a TPU backend and allow every workaround."""
+    import pytest
+
+    srv = cfgs.stage2_serving()
+    with pytest.raises(ValueError, match="crashes the TPU worker"):
+        cfgs.assert_supported_batch(srv, 2, backend="tpu")
+    # the shipped serving shape and every documented workaround pass
+    cfgs.assert_supported_batch(srv, 1, backend="tpu")
+    cfgs.assert_supported_batch(srv, 2, backend="cpu")
+    cfgs.assert_supported_batch(cfgs.stage2_serving(input_size=(176, 320)),
+                                2, backend="tpu")
+    cfgs.assert_supported_batch(cfgs.stage2_serving(sampler_point_frac=1.0),
+                                2, backend="tpu")
+    cfgs.assert_supported_batch(cfgs.stage2_serving(sampler_cam_k=6),
+                                2, backend="tpu")

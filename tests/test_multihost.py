@@ -17,24 +17,39 @@ disagree with its peer.
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CHILD = os.path.join(REPO, "tests", "_multihost_child.py")
 
 
-def test_two_process_train_step_agrees():
+def _snapshot_tree(tmp_path):
+    """Copy the package + child script into a tmpdir so the children import
+    a CONSISTENT source snapshot — re-importing the live repo from disk made
+    this test fail spuriously whenever sources were mid-edit while the suite
+    ran (round-3 flake)."""
+    shutil.copytree(os.path.join(REPO, "hipad_tpu"),
+                    os.path.join(tmp_path, "hipad_tpu"),
+                    ignore=shutil.ignore_patterns("__pycache__"))
+    os.makedirs(os.path.join(tmp_path, "tests"), exist_ok=True)
+    shutil.copy(os.path.join(REPO, "tests", "_multihost_child.py"),
+                os.path.join(tmp_path, "tests", "_multihost_child.py"))
+    return os.path.join(tmp_path, "tests", "_multihost_child.py")
+
+
+def test_two_process_train_step_agrees(tmp_path):
     n, port = 2, 12923
+    child = _snapshot_tree(str(tmp_path))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, CHILD, str(i), str(n), str(port)],
+            [sys.executable, child, str(i), str(n), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=REPO,
+            text=True, env=env, cwd=str(tmp_path),
         )
         for i in range(n)
     ]

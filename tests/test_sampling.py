@@ -358,6 +358,72 @@ def test_point_topk_exact_when_mass_covered():
     assert rel < 0.12, rel
 
 
+def test_level_topk_exact_when_mass_covered():
+    """level_k pruning of the gather levels is exact when each sample's
+    weight lives on a single fine level, stays close (renormalised) under a
+    small off-level tail, and is differentiable through the combined-map
+    patch path."""
+    from hipad_tpu.ops.sampling import deformable_aggregation_topk
+
+    rng = np.random.RandomState(29)
+    bs, cams, C, G, A, P = 1, 4, 32, 4, 5, 6
+    shapes = [(16, 24), (8, 12), (4, 6)]  # two gather levels + one matmul
+    feats = [jnp.asarray(rng.randn(bs, cams, h, w, C).astype(np.float32))
+             for h, w in shapes]
+    pts = jnp.asarray(
+        rng.uniform(0.05, 0.95, (bs, A, P, cams, 2)).astype(np.float32))
+    w = rng.rand(bs, A, P, cams, len(shapes), G).astype(np.float32)
+    # (a) one-hot fine level per (a, p, c) sample: level_k=1 must be exact
+    pick = rng.randint(0, 2, (A, P, cams))
+    w_sparse = w.copy()
+    for a in range(A):
+        for p in range(P):
+            for c in range(cams):
+                w_sparse[:, a, p, c, 1 - pick[a, p, c], :] = 0.0
+    w_sparse = jnp.asarray(w_sparse)
+
+    ref = deformable_aggregation(feats, pts, w_sparse)
+    pruned = deformable_aggregation_topk(
+        feats, pts, w_sparse, cam_k=cams, matmul_levels=(2,), level_k=1)
+    np.testing.assert_allclose(np.asarray(pruned), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # (b) concentrated-but-nonzero off-level tail: renormalised top level
+    # stays close to the exact result
+    w_conc = w.copy()
+    for a in range(A):
+        for p in range(P):
+            for c in range(cams):
+                w_conc[:, a, p, c, 1 - pick[a, p, c], :] *= 0.05
+    w_conc = jnp.asarray(w_conc)
+    ref_c = np.asarray(deformable_aggregation(feats, pts, w_conc))
+    pr_c = np.asarray(deformable_aggregation_topk(
+        feats, pts, w_conc, cam_k=cams, matmul_levels=(2,), level_k=1))
+    rel = np.abs(pr_c - ref_c).mean() / (np.abs(ref_c).mean() + 1e-9)
+    assert rel < 0.12, rel
+
+    # (c) level_k == n_gather_levels is a structural no-op vs level_k=None
+    full = deformable_aggregation_topk(
+        feats, pts, jnp.asarray(w), cam_k=cams, matmul_levels=(2,))
+    lk2 = deformable_aggregation_topk(
+        feats, pts, jnp.asarray(w), cam_k=cams, matmul_levels=(2,), level_k=2)
+    np.testing.assert_allclose(np.asarray(lk2), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+    # (d) gradients flow through the combined-map path (feature maps AND
+    # weights), finite and nonzero
+    def loss(f0, f1, f2, ww):
+        return jnp.sum(deformable_aggregation_topk(
+            [f0, f1, f2], pts, ww, cam_k=cams, matmul_levels=(2,),
+            level_k=1) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(*feats, w_sparse)
+    for gi in g:
+        arr = np.asarray(gi)
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).sum() > 0
+
+
 def test_segment_fmap_grad_matches_dense():
     """The sort+segment feature-map adjoint (HIPAD_FMGRAD=segment) equals
     the chunked-einsum adjoint, including under adversarial concentration

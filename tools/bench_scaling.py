@@ -22,11 +22,20 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8").strip()
+# This image's sitecustomize pins JAX_PLATFORMS=axon at interpreter boot, so
+# env-var setdefault does NOT stick (round-4 incident: this tool silently ran
+# on — and contended for — the one real TPU chip). Force the platform via
+# jax.config, which wins over the boot-time pin, and the device count via
+# XLA_FLAGS before the first backend init.
+os.environ["XLA_FLAGS"] = (
+    " ".join(f for f in os.environ.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count"))
+    + " --xla_force_host_platform_device_count=8").strip()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():

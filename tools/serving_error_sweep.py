@@ -62,7 +62,6 @@ def main():
     exact_cfg = stage2(sampler_cam_k=6, sampler_cam_renorm=False,
                        sampler_point_frac=1.0, **base)
 
-    rs = np.random.RandomState(args.seed)
     h, w = size
 
     def fmaps(seed):
@@ -134,7 +133,8 @@ def main():
             atraj = a["traj"].reshape(etraj.shape)
             out[f"f{fi}_plan_l2"] = float(np.mean(np.linalg.norm(
                 etraj - atraj, axis=-1)))
-            epc = e["plan_cls"].reshape(10, -1)  # [group, cmd*mode]
+            epc = e["plan_cls"].reshape(
+                exact_cfg.plan_anchor_group, -1)  # [group, cmd*mode]
             apc = a["plan_cls"].reshape(epc.shape)
             out[f"f{fi}_mode_flips"] = int(
                 (epc.argmax(-1) != apc.argmax(-1)).sum())
@@ -148,6 +148,14 @@ def main():
         sweeps.append((f"cam_k=2+renorm, frac={frac}",
                        dict(sampler_cam_k=2, sampler_cam_renorm=True,
                             sampler_point_frac=frac)))
+    # per-sample fine-level top-1 (sampler_level_k), alone and stacked on
+    # the full serving knob set
+    sweeps.append(("cam_k=2+renorm, level_k=1",
+                   dict(sampler_cam_k=2, sampler_cam_renorm=True,
+                        sampler_point_frac=1.0, sampler_level_k=1)))
+    sweeps.append(("cam_k=2+renorm, frac=0.25, level_k=1",
+                   dict(sampler_cam_k=2, sampler_cam_renorm=True,
+                        sampler_point_frac=0.25, sampler_level_k=1)))
     for name, knobs in sweeps:
         cfg = stage2(**base, **knobs)
         d = deltas(run(cfg))
