@@ -136,6 +136,8 @@ def main(sync=False, bs=1, config="stage2", **overrides):
         "rtt_ms": round(rtt * 1e3, 2),
         "config": config, "bs": bs,
     }
+    if overrides:
+        record["overrides"] = {k: repr(v) for k, v in sorted(overrides.items())}
     if rtt_anomaly:
         record["rtt_anomaly"] = True  # value == fps_unadjusted (no subtraction)
     print(json.dumps(record))
