@@ -5,6 +5,13 @@ scenario types into the paper's five driving abilities and reports a success
 rate per ability plus the multi-ability mean (no CARLA needed — route
 scenario names come from the route XML or the record's scenario_name).
 
+Parity: the ABILITY grouping below is checked against the reference's
+`Ability` dict (ability_benchmark.py:12-18) in tests/test_route_tools.py.
+Cited divergence: the reference re-scores Traffic_Signs routes a second
+time by junction-completion fraction (lines 119-147), which requires a
+live CARLA map to locate the junction waypoint — without a simulator we
+count Traffic_Signs by full-route success only, like the other abilities.
+
     python tools/ability_benchmark.py --route-dir out/ [--routes-xml routes.xml]
 """
 
