@@ -220,6 +220,24 @@ def test_comfort_matches_reference(n, wild):
     assert ours == pytest.approx(float(golden))
 
 
+def test_generate_video_stitches_bev_frames(tmp_path, monkeypatch):
+    """tools/generate_video.py end-to-end: bev_*.png frames -> animated GIF
+    (counterpart of the reference's ffmpeg mp4 composition)."""
+    from PIL import Image
+
+    from tools import generate_video
+
+    for i in range(4):
+        Image.new("RGB", (32, 24), (10 * i, 0, 0)).save(
+            tmp_path / f"bev_{i:04d}.png")
+    out = tmp_path / "run.gif"
+    monkeypatch.setattr(sys, "argv", [
+        "generate_video", "--frames", str(tmp_path), "--out", str(out)])
+    generate_video.main()
+    gif = Image.open(out)
+    assert gif.is_animated and gif.n_frames == 4
+
+
 def test_driving_efficiency_matches_reference(tmp_path):
     ref = _load_ref("efficiency_smoothness_benchmark")
     from tools import efficiency_benchmark as eff
