@@ -91,7 +91,8 @@ def scripted_route(straight: float = 40.0, turn_radius: float = 20.0,
 
 def run_scripted_replay(agent: AgentCore, route, n_ticks: int,
                         speed: float = 5.0, seed: int = 0,
-                        img_hw=(IMG_H, IMG_W), on_tick=None):
+                        img_hw=(IMG_H, IMG_W), on_tick=None,
+                        images_fn=None):
     """Drive the ego ALONG the scripted route at constant speed (the motion
     is scripted, not closed over the agent's control — decoupling pipeline
     mechanics from model quality) while the agent observes every tick
@@ -126,9 +127,13 @@ def run_scripted_replay(agent: AgentCore, route, n_ticks: int,
         target_xy = remaining[1][0] if len(remaining) >= 2 else remaining[0][0]
         command = remaining[0][1]
 
+        # frame production is the simulator's job; latency-measurement
+        # harnesses pass images_fn to serve pre-rendered frames so the
+        # ~26 MP/tick random render doesn't masquerade as agent cost
         obs = {
-            "images": {cam: rng.randint(0, 255, (h, w, 3), np.uint8)
-                       for cam in CAMERAS},
+            "images": (images_fn(t) if images_fn is not None else
+                       {cam: rng.randint(0, 255, (h, w, 3), np.uint8)
+                        for cam in CAMERAS}),
             "pos": pos.copy(),
             "speed": speed,
             "compass": np.pi / 2 + yaw,  # CARLA compass: pi/2 faces +x

@@ -109,7 +109,7 @@ class HiPADConfig:
     # Activation memory lives in the early (large-H*W) stages while replay
     # FLOPs are ~uniform per stage, so dropping the late stages from the
     # remat set trades a little memory for less recompute
-    # (A/B in tools/bench_train.py --remat-stages).
+    # (A/B via tools/bench_train.py --set backbone_remat_stages=...).
     backbone_remat_stages: Tuple[int, ...] = (0, 1, 2, 3)
     use_grid_mask: bool = True
 

@@ -82,10 +82,26 @@ def main():
                       with_rescore=True)
 
     route = scripted_route()
+
+    # pre-render a pool of synthetic camera frames: frame production is the
+    # simulator's job (CARLA renders in its own process); cycling a pool
+    # keeps adjacent dispatch inputs distinct (tunnel-dedup defense) without
+    # billing the ~26 MP/tick random render to the agent
+    from hipad_tpu.agent.calib import CAMERAS
+
+    rng = np.random.RandomState(0)
+    pool = [{cam: rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+             for cam in CAMERAS} for _ in range(8)]
+
+    def images_fn(t):
+        return pool[t % len(pool)]
+
     ticks = []
+    phases = []
 
     def on_tick(t, ag):
         ticks.append(time.perf_counter())
+        phases.append(dict(ag.last_phase_ms))
 
     # warm: one tick compiles both streaming variants (first tick = banks
     # None path, later ticks = temporal path); exclude compile from stats by
@@ -93,7 +109,8 @@ def main():
     # the cold-start variant).
     t_start = time.perf_counter()
     log = run_scripted_replay(agent, route, n_ticks=args.ticks, speed=5.0,
-                              img_hw=(IMG_H, IMG_W), on_tick=on_tick)
+                              img_hw=(IMG_H, IMG_W), on_tick=on_tick,
+                              images_fn=images_fn)
     wall = time.perf_counter() - t_start
 
     # per-tick latencies (tick i = ticks[i] - previous timestamp)
@@ -103,10 +120,11 @@ def main():
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        for i, (entry, dt) in enumerate(zip(log, lat)):
+        for i, (entry, dt, ph) in enumerate(zip(log, lat, phases)):
             f.write(json.dumps({
                 "tick": i,
                 "latency_ms": round(float(dt) * 1e3, 2),
+                **{k: round(v, 2) for k, v in ph.items()},
                 "steer": round(float(entry["steer"]), 4),
                 "throttle": round(float(entry["throttle"]), 4),
                 "brake": round(float(entry["brake"]), 4),
@@ -120,12 +138,18 @@ def main():
     sane = bool(np.isfinite(steers).all() and (np.abs(steers) <= 1).all()
                 and (thr >= 0).all() and (thr <= 1).all()
                 and (brk >= 0).all() and (brk <= 1).all())
+    warm_ph = phases[len(agent.banks) + 1:]
+    phase_med = {
+        f"{k}_ms_median": round(float(np.median([p[k] for p in warm_ph])), 1)
+        for k in (warm_ph[0] if warm_ph else {})
+    }
     summary = {
         "config": args.config, "overrides": overrides, "ticks": len(log),
         "warm_ticks": int(len(warm)),
         "tick_ms_median": round(float(np.median(warm)) * 1e3, 1),
         "tick_ms_p90": round(float(np.percentile(warm, 90)) * 1e3, 1),
         "ticks_per_s_warm": round(1.0 / float(np.median(warm)), 2),
+        **phase_med,
         "wall_s_total": round(wall, 1),
         "controls_sane": sane,
         "commands_seen": sorted({e["command"] for e in log}),
