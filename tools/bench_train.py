@@ -6,7 +6,7 @@ verify skill's timing gotchas.
 
 Reference baseline: stage-2 trains 18 epochs x 234,769 frames / 48 global
 batch = 88,038 steps in ~46 h on 8x RTX 4090 => ~1.88 s/step at global
-batch 48, i.e. ~235 ms per sample-step per GPU.
+batch 48; each GPU handles 6 samples per step => ~313 ms/sample per GPU.
 """
 
 import argparse
@@ -80,8 +80,8 @@ def main():
     per = p50 / args.bs
     print(f"train step (bs={args.bs}): {p50*1e3:.1f} ms, "
           f"{per*1e3:.1f} ms/sample "
-          f"(4090 baseline ~235 ms/sample-step; "
-          f"ratio {235.0/(per*1e3):.2f}x)")
+          f"(4090 baseline ~313 ms/sample per GPU; "
+          f"ratio {313.0/(per*1e3):.2f}x)")
 
 
 if __name__ == "__main__":

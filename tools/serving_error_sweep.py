@@ -38,6 +38,9 @@ def main():
                     help="176x320 feature pyramid (faster; frac/cam errors "
                          "are resolution-insensitive)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--only", default=None,
+                    help="run only sweep rows whose name contains this "
+                         "substring (the exact oracle always runs)")
     args = ap.parse_args()
 
     if args.platform:
@@ -156,6 +159,17 @@ def main():
     sweeps.append(("cam_k=2+renorm, frac=0.25, level_k=1",
                    dict(sampler_cam_k=2, sampler_cam_renorm=True,
                         sampler_point_frac=0.25, sampler_level_k=1)))
+    # per-layer plan-mode pruning (the reference's own with_topk_mode,
+    # `sparse_onedecoder.py:982-1007`) stacked on the serving knobs. NOTE:
+    # topk reorders modes by score, so the positional mode_flips column is
+    # not meaningful for this row — the decoded plan traj L2 is.
+    sweeps.append(("cam_k=2+renorm, frac=0.25, topk_mode 12@L3+",
+                   dict(sampler_cam_k=2, sampler_cam_renorm=True,
+                        sampler_point_frac=0.25, with_topk_mode=True,
+                        topk_mode_list=(48, 48, 12, 12, 12, 12),
+                        num_temp_plan_mode=12)))
+    if args.only is not None:
+        sweeps = [s for s in sweeps if args.only in s[0]]
     for name, knobs in sweeps:
         cfg = stage2(**base, **knobs)
         d = deltas(run(cfg))
