@@ -157,6 +157,7 @@ if __name__ == "__main__":
                         help="config factory in hipad_tpu.configs.model "
                              "(stage2_serving = production latency config; "
                              "stage2 = exact reference semantics; "
+                             "stage2_serving_topk = +plan-mode pruning; "
                              "stage2_r101_2x | stage1)")
     args = parser.parse_args()
     import ast as _ast

@@ -58,34 +58,13 @@ def prepare_camera(img_rgb: np.ndarray, aug: Dict,
     leave mean/std normalization to the jitted forward — a [cams, H, W, 3]
     uint8 frame is 4x smaller than fp32 on the host->device link.
     """
-    resize_dims = aug["resize_dims"]
-    crop = aug["crop"]
-    try:
-        from PIL import Image
-
-        im = Image.fromarray(img_rgb.astype(np.uint8))
-        if jpeg_quality is not None:
-            buf = io.BytesIO()
-            im.save(buf, "JPEG", quality=jpeg_quality)
-            buf.seek(0)
-            im = Image.open(buf).convert("RGB")
-        im = im.resize(resize_dims).crop(crop)
-        if aug.get("flip"):
-            im = im.transpose(method=Image.FLIP_LEFT_RIGHT)
-        if aug.get("rotate"):
-            im = im.rotate(aug["rotate"])
-        return np.asarray(im)
-    except ImportError:  # minimal environments: nearest-neighbour path
-        H, W = img_rgb.shape[:2]
-        newW, newH = resize_dims
-        yi = np.clip((np.arange(newH) / (newH / H)).astype(int), 0, H - 1)
-        xi = np.clip((np.arange(newW) / (newW / W)).astype(int), 0, W - 1)
-        out = img_rgb[yi][:, xi]
-        x0, y0, x1, y1 = crop
-        out = out[y0:y1, x0:x1]
-        if aug.get("flip"):
-            out = out[:, ::-1]
-        return np.ascontiguousarray(out.astype(np.uint8))
+    if jpeg_quality is not None:
+        img_rgb = jpeg_roundtrip(img_rgb, jpeg_quality)
+    # Delegate the geometry to the TRAINING pipeline's transform so the
+    # serving input distribution matches training byte-for-byte (its
+    # float32 cast of uint8 pixels is lossless either way).
+    return np.ascontiguousarray(
+        pp.transform_image(img_rgb, aug).astype(np.uint8))
 
 
 class AgentCore:

@@ -121,6 +121,44 @@ def test_scripted_120_tick_drive_regression(tiny_agent):
     assert dedup == [4, 1, 4], f"command transitions {dedup}"
 
 
+def test_serving_input_path_matches_training_pipeline():
+    """The agent's uint8 serving input path (`prepare_camera` + on-device
+    mean/std) must reproduce the TRAINING pipeline byte-for-byte: same PIL
+    resize/crop/flip pixels (`augment.py:46-92` counterpart), same RGB
+    standardisation (`NormalizeMultiviewImage(to_rgb=True)`, stage2 config
+    `hipad_b2d_stage2.py:497`). Guards the uint8-end-to-end optimization
+    against drifting from the training input distribution."""
+    import jax.numpy as jnp
+
+    from hipad_tpu.agent.core import prepare_camera
+    from hipad_tpu.data import pipelines as pp
+
+    rng = np.random.RandomState(7)
+    rgb = [rng.randint(0, 256, (90, 160, 3)).astype(np.uint8)
+           for _ in range(2)]
+    conf = dict(pp.DATA_AUG_CONF, H=90, W=160, final_dim=(32, 64),
+                resize_lim=(0.45, 0.45), rot_lim=(0.0, 0.0), rand_flip=False)
+    aug = pp.sample_aug_config(conf, test_mode=True)
+
+    # training/eval fp32 path: dataset loads BGR, resize/crop in fp32,
+    # normalize_image flips to RGB and standardises on host
+    bgr = [im[..., ::-1].astype(np.float32) for im in rgb]
+    identity = np.tile(np.eye(4, dtype=np.float32), (len(bgr), 1, 1))
+    train_imgs, _ = pp.resize_crop_flip(bgr, identity, aug)
+    train_out = pp.normalize_image(train_imgs, to_rgb=True)
+
+    # agent serving path: RGB stays uint8 through resize/crop and the
+    # host->device link; normalization runs inside the jitted forward
+    served = np.stack([prepare_camera(im, aug, jpeg_quality=None)
+                       for im in rgb])
+    assert served.dtype == np.uint8
+    dev_out = np.asarray(
+        (jnp.asarray(served).astype(jnp.float32)
+         - jnp.asarray(pp.IMG_MEAN)) / jnp.asarray(pp.IMG_STD))
+
+    np.testing.assert_allclose(dev_out, train_out, atol=1e-5)
+
+
 def test_split_routes_contiguous(tmp_path):
     """`tools/split_routes.py` (counterpart of bench2drive split_xml)."""
     import sys

@@ -42,6 +42,23 @@ def test_serving_is_stage2_plus_latency_knobs():
     assert srv.sampler_cam_k == base.sampler_cam_k
 
 
+def test_serving_topk_variant():
+    base, srv = cfgs.stage2(), cfgs.stage2_serving_topk()
+    # serving knobs inherited, plus the reference's plan-mode pruning
+    # (`sparse_onedecoder.py:982-1007`) with a valid per-refine schedule
+    assert srv.sampler_point_frac < 1.0 and srv.with_topk_mode
+    n_refine = srv.operation_order.count("refine")
+    assert len(srv.topk_mode_list) >= n_refine
+    assert srv.topk_mode_list[0] == base.ego_fut_mode  # layer 1 unpruned
+    # structural parity: the same stage-2 weights must load
+    assert srv.num_det_anchor == base.num_det_anchor
+    assert srv.plan_anchor_types == base.plan_anchor_types
+    # overrides still win over the variant's defaults
+    assert cfgs.stage2_serving_topk(num_temp_plan_mode=24,
+                                    topk_mode_list=(48,) * 6)\
+        .num_temp_plan_mode == 24
+
+
 def test_r101_2x_stress_config():
     c = cfgs.stage2_r101_2x()
     # BASELINE.json configs[4]: ResNet101 stage blocks, 2x input resolution

@@ -126,6 +126,60 @@ def test_topk_mode_loss_ignores_padded_modes():
         assert np.isfinite(float(v)), k
 
 
+def test_topk_mode_leaves_det_map_untouched():
+    """Pins the claim behind `stage2_serving_topk` (README serving-accuracy
+    table): plan-mode pruning (`sparse_onedecoder.py:982-1007`) must not
+    change det/map outputs AT ALL — not on the pruned frame, and not on the
+    next frame through the temporal banks (the plan bank shrinks to
+    ``num_temp_plan_mode`` but det/map queries never read it). The TPU
+    serving error sweep observed exact equality at stage-2 scale; this is
+    the CPU-scale structural guard."""
+    cfg_a = tiny()
+    cfg_b = tiny(with_topk_mode=True, topk_mode_list=(3, 2),
+                 num_temp_plan_mode=2)
+    model_a, variables, batch, images, metas = _make(cfg_a)
+    model_b = HiPAD(cfg_b)
+    # identical weights: the pruning knob adds no params, so model_a's
+    # variables apply verbatim (shape-checked against a fresh init)
+    import chex
+    variables_b = model_b.init({"params": jax.random.PRNGKey(0)}, images,
+                               metas, train=False)
+    chex.assert_trees_all_equal_shapes(variables["params"],
+                                       variables_b["params"])
+
+    def episode(model, cfg):
+        banks = init_bank_states(cfg, 2)
+        outs = []
+        for _ in range(2):  # same images; banks evolve
+            out, banks = model.apply(variables, images, metas, banks,
+                                     train=False)
+            outs.append(out)
+        return outs, banks
+
+    outs_a, banks_a = episode(model_a, cfg_a)
+    outs_b, banks_b = episode(model_b, cfg_b)
+    for f in range(2):
+        for task in ("det", "map"):
+            for key in ("prediction", "classification"):
+                np.testing.assert_array_equal(
+                    np.asarray(outs_a[f][task][key]),
+                    np.asarray(outs_b[f][task][key]),
+                    err_msg=f"frame {f} {task} {key}")
+    # the det bank carried into frame 3 is equally untouched (the ego
+    # refinement feeds plan, never the reverse — so ego must match too)
+    for bank_name in ("det", "ego"):
+        a, b = getattr(banks_a, bank_name), getattr(banks_b, bank_name)
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(a),
+                                  jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(leaf_a),
+                                          np.asarray(leaf_b),
+                                          err_msg=f"{bank_name} bank")
+    # ...while the plan output genuinely changes on the pruned layers
+    assert not np.array_equal(
+        np.asarray(outs_a[1]["plan"]["prediction"][-1]),
+        np.asarray(outs_b[1]["plan"]["prediction"][-1]))
+
+
 def test_topk_mode_list_validation():
     with pytest.raises(ValueError):
         tiny(with_topk_mode=True, topk_mode_list=(3,))
