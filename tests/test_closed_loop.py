@@ -177,6 +177,108 @@ def test_split_routes_contiguous(tmp_path):
     assert flat == [str(i) for i in range(11)]  # order preserved
 
 
+_MOCK_EVALUATOR = '''\
+"""Mock leaderboard_evaluator: records the worker's CLI contract and emits
+a leaderboard-format checkpoint for the routes it was sharded."""
+import json, sys
+import xml.etree.ElementTree as ET
+
+args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+records = []
+for r in ET.parse(args["--routes"]).getroot().findall("route"):
+    rid = int(r.get("id"))
+    records.append({
+        "route_id": f"RouteScenario_{rid}",
+        "town_name": r.get("town"),
+        "scenario_name": "MergerIntoSlowTraffic",
+        "status": "Failed" if rid == 3 else "Completed",
+        "scores": {"score_composed": 100.0 - 10.0 * rid},
+        "infractions": {
+            "collisions_vehicle": ["hit"] if rid == 3 else [],
+            # min-speed alone must NOT fail a route
+            "min_speed_infractions": ["slow"] if rid == 1 else [],
+        },
+    })
+out = {"_checkpoint": {"global_record": {"index": len(records)},
+                       "records": records},
+       "port": args["--port"], "agent": args["--agent"],
+       "resume": args["--resume"]}
+with open(args["--checkpoint"], "w") as f:
+    json.dump(out, f)
+'''
+
+
+def test_run_closed_loop_orchestration_mock_harness(tmp_path):
+    """Drives `tools/run_closed_loop.sh` end-to-end against a mock CARLA
+    binary + mock leaderboard evaluator (counterpart of
+    `bench2drive/leaderboard/scripts/run_evaluation_multi_hipad.sh`): the
+    real splitter shards the routes, two workers launch with distinct RPC
+    ports, per-worker logs land, and `route_stats.py` merges the checkpoint
+    JSONs into the DS/SR headline. Validates the orchestration layer the
+    environment's missing simulator otherwise leaves untested."""
+    import json
+    import os
+    import pathlib
+    import subprocess
+    import sys
+    import xml.etree.ElementTree as ET
+
+    repo = pathlib.Path(__file__).parents[1]
+    carla_root = tmp_path / "carla"
+    carla_root.mkdir()
+    # exec so the orchestrator's `kill $CARLA_PID` reaps the whole mock
+    (carla_root / "CarlaUE4.sh").write_text(
+        "#!/bin/bash\necho carla up\nexec sleep 120\n")
+    (carla_root / "CarlaUE4.sh").chmod(0o755)
+    lb = tmp_path / "lb" / "leaderboard"
+    lb.mkdir(parents=True)
+    (lb / "leaderboard_evaluator.py").write_text(_MOCK_EVALUATOR)
+
+    # 5 routes -> 2 contiguous shards via the real splitter CLI
+    root = ET.Element("routes")
+    for i in range(5):
+        ET.SubElement(root, "route", id=str(i), town=f"Town{i % 2 + 1:02d}")
+    src = tmp_path / "routes.xml"
+    ET.ElementTree(root).write(src)
+    splits = tmp_path / "splits"
+    subprocess.run([sys.executable, str(repo / "tools" / "split_routes.py"),
+                    "--routes", str(src), "--num", "2",
+                    "--out-dir", str(splits)], check=True)
+
+    out = tmp_path / "out"
+    env = dict(os.environ, TASK_NUM="2", CARLA_BOOT_WAIT="1",
+               CARLA_ROOT=str(carla_root),
+               LEADERBOARD_ROOT=str(tmp_path / "lb"),
+               ROUTES_DIR=str(splits), CKPT="work_dirs/dummy")
+    res = subprocess.run(
+        ["bash", str(repo / "tools" / "run_closed_loop.sh"), str(out)],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stderr + res.stdout
+
+    merged = json.loads((out / "merged.json").read_text())
+    # route 3 fails (collision); route 1's min-speed infraction does NOT
+    # fail it (`statistic_route_json.py:10-18` semantics)
+    assert len(merged["routes"]) == 5
+    assert merged["success_rate"] == pytest.approx(80.0)
+    assert merged["driving_score"] == pytest.approx(
+        sum(100.0 - 10.0 * i for i in range(5)) / 5)
+    shard0 = json.loads((out / "route_0.json").read_text())
+    shard1 = json.loads((out / "route_1.json").read_text())
+    # distinct per-worker CARLA RPC ports (BASE_PORT + 150*i), resume on
+    assert {shard0["port"], shard1["port"]} == {"20082", "20232"}
+    assert shard0["resume"] == "True"
+    # contiguous sharding: worker 0 got routes 0-2, worker 1 got 3-4
+    assert [r["route_id"] for r in shard0["_checkpoint"]["records"]] == \
+        [f"RouteScenario_{i}" for i in range(3)]
+    # per-worker logs landed, and the agent handed to the evaluator is the
+    # real in-repo CARLA adapter
+    for i in (0, 1):
+        assert (out / f"carla_{i}.log").exists()
+        assert (out / f"eval_{i}.log").exists()
+    assert pathlib.Path(shard0["agent"]).exists()
+    assert shard0["agent"].endswith("hipad_tpu/agent/carla_adapter.py")
+
+
 def test_agent_composite_visualization(tmp_path):
     """The per-step composite dump (multi-cam mosaic + BEV) renders and is
     saved (`hipad_b2d_agent.py:617-750` counterpart)."""

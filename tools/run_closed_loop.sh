@@ -16,6 +16,9 @@ TASK_NUM=${TASK_NUM:-8}
 BASE_PORT=${BASE_PORT:-20082}
 BASE_TM_PORT=${BASE_TM_PORT:-50000}
 CKPT=${CKPT:-work_dirs/hipad_tpu}
+# CARLA takes ~30 s to open its RPC port after launch; the mock-harness
+# orchestration test (tests/test_closed_loop.py) shrinks this to 1 s.
+CARLA_BOOT_WAIT=${CARLA_BOOT_WAIT:-30}
 REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 mkdir -p "$OUT"
 
@@ -27,7 +30,7 @@ for ((i = 0; i < TASK_NUM; i++)); do
     "${CARLA_ROOT}/CarlaUE4.sh" -RenderOffScreen -nosound \
         -carla-rpc-port=$PORT >"$OUT/carla_$i.log" 2>&1 &
     CARLA_PID=$!
-    sleep 30
+    sleep "$CARLA_BOOT_WAIT"
     PYTHONPATH="${LEADERBOARD_ROOT}:${LEADERBOARD_ROOT}/leaderboard:${REPO_ROOT}" \
     SAVE_PATH="$OUT/agent_$i" \
     python "${LEADERBOARD_ROOT}/leaderboard/leaderboard_evaluator.py" \
