@@ -39,6 +39,38 @@ BASELINE_FPS = 40.0  # RTX 4090: 20 Hz tick x 2 concurrent sims per GPU
 N_ITERS = 16
 
 
+def summarize(times, rtts, bs):
+    """Pure timing→record summary (unit-tested: tests/test_configs.py).
+
+    Median-of-times with the median tunnel RTT subtracted — UNLESS the RTT
+    is a major share of the frame (``rtt > 0.5*med``), in which case the
+    subtraction is REFUSED and the raw wall rate is reported with an
+    ``rtt_anomaly`` flag. This guard exists because round 3's pre-measured
+    RTT (172 ms, drifted) exceeded the ~90 ms frame median and the then
+    ``max(med - rtt, 1e-9)`` clamp printed a 1e9-fps artifact with rc=0
+    (BENCH_r03.json; PERF_NOTES "Benchmark honesty").
+    """
+    times = sorted(times)
+    med = times[len(times) // 2]
+    rtt = sorted(rtts)[len(rtts) // 2]
+    rtt_anomaly = rtt > 0.5 * med
+    fps = bs / med if rtt_anomaly else bs / (med - rtt)
+    record = {
+        "metric": "e2e_forward_fps_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        # raw measured throughput including the ~26 ms axon tunnel dispatch
+        # RTT (absent in a real deployment) — recorded so both the
+        # device-time estimate (value) and the measured wall rate coexist.
+        "fps_unadjusted": round(bs / med, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
+    }
+    if rtt_anomaly:
+        record["rtt_anomaly"] = True  # value == fps_unadjusted (no subtraction)
+    return record
+
+
 def main(sync=False, bs=1, config="stage2", **overrides):
     from hipad_tpu.configs import model as config_lib
     from hipad_tpu.data import synthetic
@@ -107,39 +139,14 @@ def main(sync=False, bs=1, config="stage2", **overrides):
         float(jnp.sum(wp))
         times.append(time.perf_counter() - t0)
     rtts.append(_measure_rtt())
-    times = sorted(times)
-    rtt = sorted(rtts)[len(rtts) // 2]
     if sync:
-        print({"per_frame_ms": [round(t * 1e3, 2) for t in times],
+        print({"per_frame_ms": [round(t * 1e3, 2) for t in sorted(times)],
                "rtt_ms_all": [round(t * 1e3, 2) for t in rtts]})
-    med = times[len(times) // 2]
 
-    # Sanity: the RTT adjustment is only meaningful when the dispatch
-    # round-trip is a minor share of the frame. If the tunnel is sick
-    # (rtt > 0.5*med), REFUSE the subtraction and report the raw wall
-    # rate with an anomaly flag instead of an inflated estimate.
-    rtt_anomaly = rtt > 0.5 * med
-    if rtt_anomaly:
-        fps = bs / med
-    else:
-        fps = bs / (med - rtt)
-
-    record = {
-        "metric": "e2e_forward_fps_1chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        # raw measured throughput including the ~26 ms axon tunnel dispatch
-        # RTT (absent in a real deployment) — recorded so both the
-        # device-time estimate (value) and the measured wall rate coexist.
-        "fps_unadjusted": round(bs / med, 2),
-        "rtt_ms": round(rtt * 1e3, 2),
-        "config": config, "bs": bs,
-    }
+    record = summarize(times, rtts, bs)
+    record.update({"config": config, "bs": bs})
     if overrides:
         record["overrides"] = {k: repr(v) for k, v in sorted(overrides.items())}
-    if rtt_anomaly:
-        record["rtt_anomaly"] = True  # value == fps_unadjusted (no subtraction)
     print(json.dumps(record))
 
 

@@ -93,3 +93,40 @@ def test_bs2_fault_fence():
                                 2, backend="tpu")
     cfgs.assert_supported_batch(cfgs.stage2_serving(sampler_cam_k=6),
                                 2, backend="tpu")
+
+
+def test_bench_summarize_rtt_guard():
+    """bench.py's RTT-subtraction guard (the round-3 1e9-fps artifact fix).
+
+    `summarize` must (a) subtract a healthy tunnel RTT from the frame
+    median, (b) REFUSE the subtraction — raw wall rate + ``rtt_anomaly``
+    flag — whenever the measured RTT exceeds half the frame median (the
+    drifted-RTT regime that inflated BENCH_r03.json to 1e9 fps), and
+    (c) never report a value above the raw rate in the anomalous regime.
+    """
+    import bench
+
+    # healthy: 26 ms RTT against a 90 ms frame -> device estimate 1/(64 ms)
+    rec = bench.summarize(times=[0.090] * 9, rtts=[0.026] * 10, bs=1)
+    assert "rtt_anomaly" not in rec
+    assert rec["value"] == round(1 / 0.064, 2)
+    assert rec["fps_unadjusted"] == round(1 / 0.090, 2)
+    assert rec["rtt_ms"] == 26.0
+
+    # sick tunnel (the r3 regime): 172 ms RTT against a 90 ms frame.
+    # Old behavior: max(med - rtt, 1e-9) -> 1e9 fps. Required behavior:
+    # refuse, flag, fall back to the raw wall rate.
+    rec = bench.summarize(times=[0.090] * 9, rtts=[0.172] * 10, bs=1)
+    assert rec["rtt_anomaly"] is True
+    assert rec["value"] == rec["fps_unadjusted"] == round(1 / 0.090, 2)
+    assert rec["value"] < 100  # nothing remotely like the 1e9 artifact
+
+    # boundary: rtt slightly over half the median still refuses; a noisy
+    # single RTT spike does not (median-of-rtts absorbs it)
+    assert "rtt_anomaly" in bench.summarize([0.090] * 9, [0.046] * 10, 1)
+    assert "rtt_anomaly" not in bench.summarize(
+        [0.090] * 9, [0.026] * 9 + [0.500], 1)
+
+    # bs scales both rates (aggregate streams per chip)
+    rec = bench.summarize(times=[0.090] * 9, rtts=[0.026] * 10, bs=2)
+    assert rec["value"] == round(2 / 0.064, 2)
