@@ -18,7 +18,7 @@ Design notes (TPU-first):
   * The group-weighted reduction is one einsum per (level, corner) so the
     full [.., C]-broadcast weight tensor is never materialised.
 
-This function is the *oracle* for the Pallas kernel in ``pallas_daf.py`` and
+This function is the *oracle* for the Pallas kernel in ``pallas_interp.py`` and
 is itself fully differentiable (XLA derives gathers' scatter-add adjoints,
 no atomics involved).
 """
