@@ -195,6 +195,28 @@ class HiPADConfig:
     topk_mode_list: Optional[Tuple[int, ...]] = None
     keep_topk_relative_pos: bool = False
 
+    # --- optional det-query pruning (serving knob, no reference counterpart
+    # as a decoder feature — but it reuses the reference's own confidence
+    # ranking: the temporal segment is cached top-K sorted by decayed
+    # confidence (`instance_bank.py:164-196`) and the fresh segment is the
+    # merge's top-(N-K) sorted by single-frame confidence
+    # (`instance_bank.py:125-162`). ``topk_det_list[i]`` = det queries kept
+    # AFTER refine layer i; layers i+1.. then attend/sample/refine only the
+    # kept queries. TPU-first design: because both segments arrive
+    # confidence-SORTED, pruning is a static prefix slice per segment (split
+    # proportionally, temp:fresh = num_temp:num_fresh) — zero gathers, no
+    # permutation, every bank slot-alignment invariant preserved. Dropped
+    # queries freeze at their drop-layer state: per-layer output stacks and
+    # the end-of-frame bank/instance-id interfaces are re-spliced from saved
+    # tails (real values, not sentinels), so the temporal bank continues to
+    # decay/rank/track them exactly as if they had stopped improving. On
+    # cold-start samples (no valid temporal gap / no bank) the fresh set is
+    # confidence-sorted and Bresenham-interleaved into the segment geometry
+    # (instance_bank.det_cold_layout) so the prefix keeps exactly the
+    # top-k single-frame detections. See models/decoder.py.
+    with_topk_det: bool = False
+    topk_det_list: Optional[Tuple[int, ...]] = None
+
     # --- deformable sampler backend (see ops/sampling.py) -------------------
     # "reference": row gathers (parity oracle) | "topk": camera-compacted
     # patch gathers + Pallas MXU sampling on coarse levels (production TPU
@@ -250,6 +272,12 @@ class HiPADConfig:
 
     # --- misc --------------------------------------------------------------
     cls_threshold_to_reg: float = 0.05
+    # MFU-attribution ablation (tools/mfu_accounting.py): stop the gradient
+    # at the backbone->decoder boundary, killing conv dgrad/wgrad, the remat
+    # replay AND the sampler's dense feature-map adjoints in one cut so the
+    # end-to-end step-time delta attributes that whole family. Never enable
+    # for real training.
+    stop_fmap_gradient: bool = False
 
     # --- anchor data (numpy; excluded from equality/hash) --------------------
     det_anchor: np.ndarray = None
@@ -299,6 +327,36 @@ class HiPADConfig:
                     f"ego_fut_cmd={self.ego_fut_cmd}) — padded "
                     "zero-confidence slots would become temporal instances"
                 )
+        if self.with_topk_det:
+            n_refine = self.operation_order.count("refine")
+            if self.topk_det_list is None or len(self.topk_det_list) < n_refine:
+                raise ValueError(
+                    "with_topk_det needs topk_det_list with one entry per "
+                    f"refine layer ({n_refine}); got {self.topk_det_list!r}"
+                )
+            lst = self.topk_det_list[:n_refine]
+            if any(k < 2 or k > self.num_det_anchor for k in lst):
+                raise ValueError(
+                    "topk_det_list entries must be in [2, num_det_anchor]")
+            if any(a < b for a, b in zip(lst, lst[1:])):
+                raise ValueError(
+                    "topk_det_list must be non-increasing (pruned queries "
+                    "cannot come back — their features stop being refined)")
+            # pruning can only start once the temporal merge has produced the
+            # confidence-sorted [temporal | fresh] segment layout
+            if any(k < self.num_det_anchor
+                   for k in lst[: self.num_single_frame_decoder - 1]):
+                raise ValueError(
+                    "topk_det_list may prune only from refine layer "
+                    f"{self.num_single_frame_decoder - 1} on (the temporal "
+                    "merge that sorts the segments happens there)")
+            n_temp = self.num_temp_det_anchor
+            for k in lst:
+                t = k * n_temp // self.num_det_anchor
+                if k < self.num_det_anchor and (t < 1 or k - t < 1):
+                    raise ValueError(
+                        f"topk_det_list entry {k} leaves an empty segment "
+                        f"(proportional split {t}/{k - t})")
         if (self.with_concat_map_points or self.with_concat_plan_points) and (
                 self.with_distance_attn_mask or self.with_velocity_attn_mask):
             raise ValueError(
@@ -503,6 +561,24 @@ def stage2_serving_topk(kmeans_dir: str = REFERENCE_KMEANS_DIR,
     overrides.setdefault("topk_mode_list", (48, 48, 12, 12, 12, 12))
     overrides.setdefault("num_temp_plan_mode", 12)
     return stage2_serving(kmeans_dir, **overrides)
+
+
+def stage2_serving_prune(kmeans_dir: str = REFERENCE_KMEANS_DIR,
+                         **overrides) -> HiPADConfig:
+    """``stage2_serving_topk`` plus det-query pruning: keep the top-450 of
+    900 det queries (by the banks' own confidence ranking — decayed cache
+    confidence for the temporal segment, single-frame merge confidence for
+    the fresh segment) from refine layer 3 on. Layers 3-6 then run 1031
+    live queries instead of 1481 (det 300+150, map 100, plan 120, ego 1):
+    the two structural pruning knobs together cut attention, sampling and
+    refinement work on both large query groups. Dropped det instances
+    freeze at their layer-2 state and remain visible to the temporal bank,
+    the tracker and the det output exactly as non-improving detections
+    (see HiPADConfig.with_topk_det). Accuracy deltas quantified per-knob in
+    the serving error sweep (README)."""
+    overrides.setdefault("with_topk_det", True)
+    overrides.setdefault("topk_det_list", (900, 900, 450, 450, 450, 450))
+    return stage2_serving_topk(kmeans_dir, **overrides)
 
 
 def stage2_r101_2x(kmeans_dir: str = REFERENCE_KMEANS_DIR,

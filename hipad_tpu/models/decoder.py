@@ -15,6 +15,21 @@ TPU-native rework of the reference ``SparseOneDecoder``
 
 Returns (outputs, new_bank_states) where outputs carries per-layer
 classification / regression stacks for every task head.
+
+Serving-only structural pruning knobs (both OFF in ``stage2``/``stage2_serving``):
+
+  * ``with_topk_mode`` — the reference's own per-layer plan-mode pruning
+    (`sparse_onedecoder.py:982-1007`), see the refine op;
+  * ``with_topk_det`` — det-query pruning with no reference counterpart:
+    after refine layer i keep the first ``topk_det_list[i]`` det queries,
+    split proportionally across the two confidence-sorted bank segments
+    (temporal / fresh) as STATIC prefix slices — no top-k, no gathers, no
+    permutations, and every bank slot-alignment invariant survives. Dropped
+    queries freeze at their drop-layer state; the per-layer output stacks
+    and the end-of-frame bank/tracker interfaces are re-spliced from the
+    frozen tails so downstream consumers see a full-width query set whose
+    dropped members simply stopped improving (cfg docstring has the full
+    design rationale).
 """
 
 from __future__ import annotations
@@ -293,6 +308,28 @@ class SparseOneDecoder(nn.Module):
         det_bank_state = bank_states.det if has_temp else None
         det_cls = map_cls = plan_cls = None
 
+        # ---- det-query pruning state (cfg.with_topk_det) -----------------
+        # ``det_live`` = (temporal, fresh) live prefix lengths; ``det_tails``
+        # maps output keys to the (temporal_tail, fresh_tail) rows frozen at
+        # their drop layer, in ascending original-slot order — so a static
+        # concat re-creates the exact full-width slot layout the banks,
+        # instance-id tracker and per-layer output stacks expect.
+        det_prune = cfg.with_topk_det and cfg.topk_det_list is not None
+        det_live = (cfg.num_temp_det_anchor,
+                    cfg.num_det_anchor - cfg.num_temp_det_anchor)
+        det_tails: Optional[Dict[str, tuple]] = None
+
+        def _det_splice(live, key):
+            """Restore a live det tensor to the full num_det_anchor layout
+            by splicing the frozen drop-layer tails back into their original
+            slot positions (static concat — no gathers)."""
+            if det_tails is None or key not in det_tails:
+                return live
+            tail_t, tail_f = det_tails[key]
+            tk = det_live[0]
+            return jnp.concatenate(
+                [live[:, :tk], tail_t, live[:, tk:], tail_f], axis=1)
+
         joint_feat = joint_embed = None
         temp_joint_feat = temp_joint_embed = None
         deform_i = 0
@@ -477,18 +514,30 @@ class SparseOneDecoder(nn.Module):
                     name=f"det_refine_{refine_i}",
                 )(feat["det"], anchor["det"], embed["det"], time_interval)
                 anchor["det"] = new_det_anchor
-                out["det"]["prediction"].append(anchor["det"])
-                out["det"]["classification"].append(det_cls)
-                out["det"]["quality"].append(det_qt)
+                out["det"]["prediction"].append(_det_splice(anchor["det"], "prediction"))
+                out["det"]["classification"].append(_det_splice(det_cls, "classification"))
+                out["det"]["quality"].append(_det_splice(det_qt, "quality"))
 
-                if refine_i + 1 == cfg.num_single_frame_decoder and has_temp:
-                    feat["det"], anchor["det"], det_bank_state = banks.det_bank_update(
-                        cfg, det_bank_state, temp_det_feat, temp_det_anchor,
-                        feat["det"], anchor["det"], det_cls, det_mask,
-                    )
+                if refine_i + 1 == cfg.num_single_frame_decoder:
+                    if has_temp:
+                        feat["det"], anchor["det"], det_bank_state = banks.det_bank_update(
+                            cfg, det_bank_state, temp_det_feat, temp_det_anchor,
+                            feat["det"], anchor["det"], det_cls, det_mask,
+                            sort_fresh_full=det_prune,
+                        )
+                    elif det_prune:
+                        # static first-frame path: no segments exist, so sort
+                        # by single-frame confidence and re-lay into the
+                        # segment geometry (banks.det_cold_layout) — the
+                        # prefix slices then keep exactly the top-k
+                        _, (sf, sa) = banks.topk_gather(
+                            det_cls.max(axis=-1), cfg.num_det_anchor,
+                            feat["det"], anchor["det"])
+                        inv = jnp.asarray(banks.det_cold_layout(cfg))
+                        feat["det"], anchor["det"] = sf[:, inv], sa[:, inv]
                 embed["det"] = det_enc(anchor["det"])
                 if refine_i + 1 > cfg.num_single_frame_decoder and has_temp:
-                    tembed["det"] = embed["det"][:, : cfg.num_temp_det_anchor]
+                    tembed["det"] = embed["det"][:, : det_live[0]]
 
                 # ---- map -------------------------------------------------
                 new_map_anchor, map_cls, _ = SparsePoint3DRefinement(
@@ -513,8 +562,8 @@ class SparseOneDecoder(nn.Module):
                     m_cls, m_reg = SparseMotionRefinement(
                         cfg, dtype=self.dtype, name=f"motion_refine_{refine_i}"
                     )(motion_q)
-                    out["motion"]["classification"].append(m_cls)
-                    out["motion"]["prediction"].append(m_reg)
+                    out["motion"]["classification"].append(_det_splice(m_cls, "m_cls"))
+                    out["motion"]["prediction"].append(_det_splice(m_reg, "m_reg"))
 
                 # ---- ego -------------------------------------------------
                 ego_status = EgoStatusRefinement(
@@ -592,6 +641,52 @@ class SparseOneDecoder(nn.Module):
                     _pad_groups(plan_cls.reshape(bs, -1, 1), -1e9).reshape(bs, 1, -1))
                 embed["plan"], pts_embed["plan"] = enc_plan(anchor["plan"])
 
+                # ---- det-query pruning (see HiPADConfig.with_topk_det) ----
+                # At the END of the refine block, so this layer's det/motion
+                # outputs and the merge/embed refresh above all saw the
+                # pre-prune set; layers refine_i+1.. run on the kept prefix
+                # of each confidence-sorted segment (static slices only).
+                if det_prune and refine_i + 1 >= cfg.num_single_frame_decoder:
+                    cur_t, cur_f = det_live
+                    k = min(int(cfg.topk_det_list[refine_i]), cur_t + cur_f)
+                    tk = k * cfg.num_temp_det_anchor // cfg.num_det_anchor
+                    nk = k - tk
+                    if tk < cur_t or nk < cur_f:
+                        new_vals = {
+                            "prediction": anchor["det"],
+                            "classification": det_cls,
+                            "quality": det_qt,
+                            "feat": feat["det"],
+                        }
+                        if "motion" in cfg.task_select:
+                            new_vals["m_cls"] = m_cls
+                            new_vals["m_reg"] = m_reg
+                        prev_tails = det_tails or {}
+                        det_tails = {}
+                        for key, full in new_vals.items():
+                            tail_t = full[:, tk:cur_t]
+                            tail_f = full[:, cur_t + nk:]
+                            if key in prev_tails:
+                                # newly dropped rows precede earlier drops:
+                                # ascending original-slot order is preserved
+                                tail_t = jnp.concatenate(
+                                    [tail_t, prev_tails[key][0]], axis=1)
+                                tail_f = jnp.concatenate(
+                                    [tail_f, prev_tails[key][1]], axis=1)
+                            det_tails[key] = (tail_t, tail_f)
+
+                        def _keep(x):
+                            return jnp.concatenate(
+                                [x[:, :tk], x[:, cur_t:cur_t + nk]], axis=1)
+
+                        feat["det"] = _keep(feat["det"])
+                        anchor["det"] = _keep(anchor["det"])
+                        embed["det"] = _keep(embed["det"])
+                        if has_temp:
+                            tfeat["det"] = tfeat["det"][:, :tk]
+                            tembed["det"] = tembed["det"][:, :tk]
+                        det_live = (tk, nk)
+
                 refine_i += 1
             else:
                 raise NotImplementedError(f"unknown op {op!r}")
@@ -620,13 +715,21 @@ class SparseOneDecoder(nn.Module):
             plan_cls = _pad_full(plan_cls.reshape(bs, -1, 1), -1e9)
 
         # ============== cache banks for the next frame ===================
+        # Under det pruning, restore the full slot layout first (live rows +
+        # frozen drop-layer tails) so confidence decay, the temporal top-k
+        # and instance-id tracking see every instance at its last refined
+        # state, slot-aligned with the previous frame.
+        det_feat_full = _det_splice(feat["det"], "feat")
+        det_anchor_full = _det_splice(anchor["det"], "prediction")
+        det_cls_full = _det_splice(det_cls, "classification")
         new_det_state, temp_conf = banks.det_bank_cache(
             cfg,
             det_bank_state.confidence if has_temp else None,
-            feat["det"], anchor["det"], det_cls, timestamp, metas["T_global"],
+            det_feat_full, det_anchor_full, det_cls_full, timestamp,
+            metas["T_global"],
         )
         instance_id, new_det_state = banks.det_assign_instance_ids(
-            cfg, det_bank_state, new_det_state, temp_conf, det_cls,
+            cfg, det_bank_state, new_det_state, temp_conf, det_cls_full,
             score_threshold=None,
         )
         new_ego_state = banks.ego_bank_cache(feat["ego"], anchor["ego"], timestamp)

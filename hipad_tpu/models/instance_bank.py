@@ -103,6 +103,31 @@ def topk_gather(confidence: jnp.ndarray, k: int, *inputs):
     return conf, outs
 
 
+def det_cold_layout(cfg: HiPADConfig):
+    """Compile-time permutation for with_topk_det cold-start samples.
+
+    A cold sample (no valid temporal gap / no bank) has no
+    [temporal | fresh] segment structure, but the static prefix pruning
+    keeps rows [0:tk] and [num_temp:num_temp+nk]. Placing the
+    confidence-sorted ranks into the segment geometry by Bresenham
+    round-robin (rank r goes to the temporal segment iff
+    floor((r+1)*nt/nd) > floor(r*nt/nd)) makes every proportional prefix
+    keep (tk = k*nt//nd, nk = k-tk) capture EXACTLY the global top-k, for
+    every k of the schedule at once. Returns the constant index array
+    ``inv`` with ``layout[s] = sorted_by_confidence[inv[s]]``.
+    """
+    import numpy as np
+
+    nt, nd = cfg.num_temp_det_anchor, cfg.num_det_anchor
+    r = np.arange(nd)
+    ct = (r * nt) // nd  # temporal slots used by ranks 0..r-1
+    in_t = ((r + 1) * nt) // nd > ct
+    slot = np.where(in_t, ct, nt + (r - ct))
+    inv = np.empty(nd, np.int64)
+    inv[slot] = r
+    return inv
+
+
 import jax  # noqa: E402  (after flax.struct for readability)
 
 
@@ -139,18 +164,33 @@ def det_bank_update(
     anchor: jnp.ndarray,
     cls_logits: jnp.ndarray,
     mask: jnp.ndarray,
+    sort_fresh_full: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DetBankState]:
     """Merge temporal instances after the single-frame layer
     (`instance_bank.py:125-162`): keep top-(N-K) fresh detections, prepend the
     K cached instances; samples with an invalid time gap keep the fresh set
-    and zero their cached confidence."""
+    and zero their cached confidence.
+
+    ``sort_fresh_full`` (with_topk_det only — the extra permutation would
+    break bit-parity with the reference otherwise): cold samples keep the
+    full fresh set confidence-sorted and re-laid into the segment geometry
+    (``det_cold_layout``) instead of anchor-ordered, so the static
+    segment-prefix pruning downstream keeps exactly the top-k single-frame
+    detections rather than an arbitrary anchor prefix."""
     n_fresh = cfg.num_det_anchor - cfg.num_temp_det_anchor
     conf = cls_logits.max(axis=-1)
     _, (sel_feat, sel_anchor) = topk_gather(conf, n_fresh, instance_feature, anchor)
     merged_feat = jnp.concatenate([temp_feature, sel_feat], axis=1)
     merged_anchor = jnp.concatenate([temp_anchor, sel_anchor], axis=1)
-    out_feat = jnp.where(mask[:, None, None], merged_feat, instance_feature)
-    out_anchor = jnp.where(mask[:, None, None], merged_anchor, anchor)
+    fresh_feat, fresh_anchor = instance_feature, anchor
+    if sort_fresh_full:
+        _, (fresh_feat, fresh_anchor) = topk_gather(
+            conf, cfg.num_det_anchor, instance_feature, anchor)
+        inv = jnp.asarray(det_cold_layout(cfg))
+        fresh_feat = fresh_feat[:, inv]
+        fresh_anchor = fresh_anchor[:, inv]
+    out_feat = jnp.where(mask[:, None, None], merged_feat, fresh_feat)
+    out_anchor = jnp.where(mask[:, None, None], merged_anchor, fresh_anchor)
     new_state = state.replace(
         confidence=jnp.where(mask[:, None], state.confidence, 0.0),
         instance_id=jnp.where(mask[:, None], state.instance_id, -1),
