@@ -57,6 +57,9 @@ def prepare_camera(img_rgb: np.ndarray, aug: Dict,
     `ResizeCropFlipImage` also works on PIL uint8, `augment.py:46-92`), and
     leave mean/std normalization to the jitted forward — a [cams, H, W, 3]
     uint8 frame is 4x smaller than fp32 on the host->device link.
+
+    This is the PIL fallback; ``prepare_cameras`` batches all cameras
+    through the native C++ resize/crop when the library is built.
     """
     if jpeg_quality is not None:
         img_rgb = jpeg_roundtrip(img_rgb, jpeg_quality)
@@ -65,6 +68,37 @@ def prepare_camera(img_rgb: np.ndarray, aug: Dict,
     # float32 cast of uint8 pixels is lossless either way).
     return np.ascontiguousarray(
         pp.transform_image(img_rgb, aug).astype(np.uint8))
+
+
+def prepare_cameras(imgs_rgb: List[np.ndarray], aug: Dict,
+                    jpeg_quality: Optional[int] = 20) -> np.ndarray:
+    """All cameras of one tick -> [cams, fH, fW, 3] uint8.
+
+    The JPEG q20 roundtrip stays on PIL (it is a *semantic* part of the
+    input distribution, `hipad_b2d_agent.py:366-372`); the resize/crop then
+    runs as ONE multithreaded native pass over the stacked cameras
+    (csrc/image_ops.cpp:resize_crop_cameras_u8) — the same fused kernel the
+    training loader uses (data/bench2drive.py), so serving and (native-path)
+    training share their resampling bit-for-bit. Falls back to the
+    per-camera PIL path when the library isn't built or the cameras differ
+    in size. PIL's BILINEAR uses an area-weighted downscale filter while the
+    native kernel is 2-tap bilinear — a documented resampling difference of
+    the native path in both loaders, bounded by tests/test_native_io.py.
+    """
+    from ..data import native
+
+    if jpeg_quality is not None:
+        imgs_rgb = [jpeg_roundtrip(im, jpeg_quality) for im in imgs_rgb]
+    shapes = {im.shape for im in imgs_rgb}
+    if len(shapes) == 1:
+        out = native.resize_crop_cameras_u8(
+            np.stack(imgs_rgb).astype(np.uint8, copy=False), aug)
+        if out is not None:
+            return out
+    return np.stack([
+        np.ascontiguousarray(pp.transform_image(im, aug).astype(np.uint8))
+        for im in imgs_rgb
+    ])
 
 
 class AgentCore:
@@ -152,10 +186,10 @@ class AgentCore:
         ego2world[0:2, 3] = pos
         lidar2global = (ego2world @ LIDAR2EGO).astype(np.float32)
 
-        imgs = np.stack([
-            prepare_camera(obs["images"][cam], self.aug, self.jpeg_quality)
-            for cam in CAMERAS
-        ])  # [cams, fH, fW, 3] uint8 RGB; normalization happens on device
+        imgs = prepare_cameras(
+            [obs["images"][cam] for cam in CAMERAS], self.aug,
+            self.jpeg_quality,
+        )  # [cams, fH, fW, 3] uint8 RGB; normalization happens on device
 
         metas = {
             "timestamp": np.full((1,), self.step / FRAME_RATE, np.float32),

@@ -31,6 +31,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int,
         ]
+        if hasattr(lib, "resize_crop_cameras_u8"):
+            lib.resize_crop_cameras_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
         lib.depth_maps.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -43,6 +50,13 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def serving_available() -> bool:
+    """True when the uint8 serving entry point exists (lib built at or
+    after its introduction)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "resize_crop_cameras_u8")
 
 
 def preprocess_cameras(
@@ -74,6 +88,38 @@ def preprocess_cameras(
         mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         1, num_threads,
+    )
+    return out
+
+
+def resize_crop_cameras_u8(
+    imgs_u8: np.ndarray,
+    aug: Dict,
+    to_rgb: bool = False,
+    num_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Serving preprocessing: [cams, H, W, 3] uint8 -> uint8 crop, no
+    normalization (the agent fuses mean/std into the jitted forward and
+    ships uint8 to the device). Same fused resize+crop+flip geometry and
+    bilinear sampling as ``preprocess_cameras``; output rounded to nearest.
+
+    Returns None when the library is unavailable or was built before this
+    entry point existed (caller falls back to the PIL path).
+    """
+    lib = _load()
+    if (lib is None or aug.get("rotate")
+            or not hasattr(lib, "resize_crop_cameras_u8")):
+        return None
+    imgs = np.ascontiguousarray(imgs_u8, dtype=np.uint8)
+    cams, src_h, src_w = imgs.shape[:3]
+    rw, rh = aug["resize_dims"]
+    x0, y0, x1, y1 = aug["crop"]
+    out = np.empty((cams, y1 - y0, x1 - x0, 3), np.uint8)
+    lib.resize_crop_cameras_u8(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cams, src_h, src_w, rw, rh, x0, y0, y1 - y0, x1 - x0,
+        int(bool(aug.get("flip"))), int(bool(to_rgb)), num_threads,
     )
     return out
 

@@ -64,6 +64,61 @@ def test_preprocess_flip():
     np.testing.assert_allclose(flipped, plain[:, :, ::-1], atol=1e-5)
 
 
+def test_resize_crop_u8_matches_float_path():
+    """The uint8 serving entry point must be the float kernel's geometry and
+    sampling exactly, just quantized: un-normalizing the float output and
+    rounding to nearest reproduces the uint8 output bitwise."""
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, (3, 90, 160, 3), np.uint8)
+    aug = {"resize": 0.4, "resize_dims": (64, 36), "crop": (0, 4, 64, 36),
+           "flip": False, "rotate": 0.0}
+    u8 = native.resize_crop_cameras_u8(imgs, aug, to_rgb=True, num_threads=2)
+    assert u8 is not None and u8.dtype == np.uint8
+    assert u8.shape == (3, 32, 64, 3)
+    f32 = native.preprocess_cameras(imgs, aug, num_threads=2)
+    # reconstruct pixels from the normalized output; the float roundtrip can
+    # sit within eps of an exact .5 tie, so allow +-1 on <1% of pixels
+    expect = np.clip(np.floor(f32 * pp.IMG_STD + pp.IMG_MEAN + 0.5), 0, 255)
+    diff = np.abs(u8.astype(np.float64) - expect)
+    assert float(diff.max()) <= 1.0
+    assert float((diff > 0).mean()) < 0.01
+
+    # flip parity
+    aug_f = dict(aug, flip=True)
+    flipped = native.resize_crop_cameras_u8(imgs, aug_f, to_rgb=True)
+    np.testing.assert_array_equal(flipped, u8[:, :, ::-1])
+
+    # to_rgb=False keeps the source channel order
+    plain = native.resize_crop_cameras_u8(imgs, aug, to_rgb=False)
+    np.testing.assert_array_equal(plain, u8[..., ::-1])
+
+
+def test_agent_prepare_cameras_uses_native():
+    """AgentCore's batched camera path returns the native u8 output when the
+    library is built (shape + dtype + agreement with the per-camera fallback
+    within resampling tolerance)."""
+    from hipad_tpu.agent.core import prepare_camera, prepare_cameras
+
+    # smooth scene (gradients), not noise: PIL BILINEAR is an area-weighted
+    # downscale filter while the native kernel is 2-tap bilinear — on
+    # spatially-correlated content (real cameras) they agree closely, on
+    # white noise they cannot (different support). Both loaders document
+    # this resampling trade.
+    yy, xx = np.mgrid[0:90, 0:160]
+    frames = [np.stack([(xx * 255 / 159), (yy * 255 / 89),
+                        ((xx + yy + 40 * i) % 256)], -1).astype(np.uint8)
+              for i in range(2)]
+    aug = {"resize": 0.4, "resize_dims": (64, 36), "crop": (0, 4, 64, 36),
+           "flip": False, "rotate": 0.0}
+    out = prepare_cameras(frames, aug, jpeg_quality=None)
+    assert out.dtype == np.uint8 and out.shape == (2, 32, 64, 3)
+    pil = np.stack([prepare_camera(f, aug, jpeg_quality=None)
+                    for f in frames])
+    diff = np.abs(out.astype(int) - pil.astype(int))
+    # the wrap-around channel has a few hard edges; compare the smooth ones
+    assert float(np.mean(diff[..., :2])) < 4.0
+
+
 def test_depth_maps_match_numpy():
     rng = np.random.RandomState(2)
     pts = rng.uniform(-10, 30, (200, 3)).astype(np.float32)

@@ -3,7 +3,9 @@
 Runs the scripted replay (`agent/replay.py:run_scripted_replay`) with the
 REAL serving configuration — ``stage2_serving`` (or overrides), bf16,
 collision rescore on, the x10 closed-loop bank round-robin, JPEG-compressed
-synthetic cameras, native preprocessing — for >=120 ticks on the TPU, and
+synthetic cameras, native C++ resize/crop when libhipad_io.so is built
+(``tools/build_native.sh``; PIL fallback otherwise — the summary records
+which path ran as ``native_preproc``) — for >=120 ticks on the TPU, and
 records per-tick wall latency + control-sanity stats. This is the closest
 possible stand-in for the reference's CARLA leaderboard run
 (`hipad_b2d_agent.py:161-615`, 20 Hz tick) that this environment allows:
@@ -152,6 +154,9 @@ def main():
         **phase_med,
         "wall_s_total": round(wall, 1),
         "controls_sane": sane,
+        "native_preproc": __import__(
+            "hipad_tpu.data.native", fromlist=["serving_available"]
+        ).serving_available(),
         "commands_seen": sorted({e["command"] for e in log}),
         "out": os.path.relpath(args.out),
     }
