@@ -53,6 +53,10 @@ class HiPAD(nn.Module):
         return_depth: bool = False,
     ):
         feature_maps = self.extract_feat(images, train=train)
+        if self.cfg.stop_fmap_gradient:  # MFU attribution only (see config)
+            import jax
+
+            feature_maps = [jax.lax.stop_gradient(f) for f in feature_maps]
         outputs, new_banks = self.decoder(feature_maps, metas, bank_states, train=train)
         if return_depth:
             outputs["depth"] = self.depth_net(feature_maps, metas.get("focal"))
