@@ -45,6 +45,18 @@ def restore_checkpoint(ckpt_dir: str, state: Any, step: Optional[int] = None):
     return state.replace(**payload)
 
 
+def load_variables(ckpt_dir: str, step: Optional[int] = None) -> dict:
+    """Restore ``{"params", "batch_stats"}`` for inference-only consumers
+    (serving sweep, eval/agent tools) without building a train state."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        payload = mgr.restore(step)
+    return {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+
 def load_params_only(ckpt_dir: str, state: Any, step: Optional[int] = None):
     """Stage-2 warm start from a stage-1 checkpoint (`config:672`): restore
     params/batch_stats, keep fresh optimizer state."""
