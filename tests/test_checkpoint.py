@@ -31,3 +31,10 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(warm.params)[0]),
         np.asarray(a[0]),
     )
+
+    # inference-only variables (serving sweep / eval tools): same params
+    # tree without constructing a train state
+    variables = checkpoint.load_variables(str(tmp_path))
+    assert set(variables) == {"params", "batch_stats"}
+    for x, y in zip(a, jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
