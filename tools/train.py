@@ -43,6 +43,15 @@ def main():
     p.add_argument("--load-from", default=None, help="warm-start ckpt dir")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train N synthetic iters (no dataset needed)")
+    p.add_argument("--synthetic-pool", type=int, default=0,
+                   help="with --synthetic: pre-upload a pool of K distinct "
+                        "batches and cycle them instead of streaming a fresh "
+                        "batch per step. Cuts host->device traffic from "
+                        "~16 MB/step to ~zero — the axon tunnel wedges under "
+                        "sustained streaming uploads (round-5 incident: two "
+                        "runs stalled mid-stream; the round-3 500-step "
+                        "streaming run predates the instability). K>=16 keeps "
+                        "losses within a few % of the streaming curve.")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run open-loop eval every N iters (needs --val-ann-file)")
     p.add_argument("--val-ann-file", default=None)
@@ -119,13 +128,28 @@ def main():
     pid = jax.process_index()
 
     if args.synthetic:
-        def batches():
-            i = 0
-            while True:
-                # distinct data per process: seed offset by (step, rank)
-                yield synthetic.make_batch(
-                    cfg, local_bs, seed=args.seed + i * n_proc + pid)
-                i += 1
+        if args.synthetic_pool:
+            pool = [
+                {k: jnp.asarray(v)
+                 for k, v in synthetic.make_batch(
+                     cfg, local_bs, seed=args.seed + i * n_proc + pid).items()
+                 if not isinstance(v, list)}
+                for i in range(args.synthetic_pool)
+            ]
+
+            def batches():
+                i = 0
+                while True:
+                    yield pool[i % len(pool)]
+                    i += 1
+        else:
+            def batches():
+                i = 0
+                while True:
+                    # distinct data per process: seed offset by (step, rank)
+                    yield synthetic.make_batch(
+                        cfg, local_bs, seed=args.seed + i * n_proc + pid)
+                    i += 1
         loader = batches()
     else:
         from hipad_tpu.data.bench2drive import Bench2DriveDataset
