@@ -107,8 +107,9 @@ def main():
                          "are resolution-insensitive)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--only", default=None,
-                    help="run only sweep rows whose name contains this "
-                         "substring (the exact oracle always runs)")
+                    help="run only sweep rows whose name contains any of "
+                         "these comma-separated substrings (the exact "
+                         "oracle always runs)")
     ap.add_argument("--load-from", default=None,
                     help="orbax checkpoint dir: sweep the FULL trained "
                          "model (backbone+decoder) on synthetic frames")
@@ -284,7 +285,8 @@ def main():
                         topk_mode_list=(48, 48, 12, 12, 12, 12),
                         num_temp_plan_mode=12, **_det)))
     if args.only is not None:
-        sweeps = [s for s in sweeps if args.only in s[0]]
+        subs = [s.strip() for s in args.only.split(",")]
+        sweeps = [s for s in sweeps if any(sub in s[0] for sub in subs)]
     for name, knobs in sweeps:
         cfg = stage2(**base, **knobs)
         d = deltas(run(cfg))
