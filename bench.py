@@ -17,22 +17,21 @@ inference per tick on an RTX 4090 (`hipad_b2d_agent.py:250`,
 `run_evaluation_multi_hipad.sh:23-24` — two sims per GPU, so ~40 fps/GPU
 sustained). BASELINE.json's north star is >=3x.
 
-Default config is ``stage2_serving_topk`` — the production latency
+Default config is ``stage2_serving_det`` — the production latency
 configuration: renormalised cam_k=2 + weight-top-k keypoint pruning (error
-bounds tested in tests/test_sampling.py) plus the reference's own per-layer
-plan-mode pruning (`sparse_onedecoder.py:982-1007`, shipped upstream behind
-``with_topk_mode``). Headline decision (round 5): det/map outputs are
-bit-identical to ``stage2_serving`` (structural — pruning touches only plan
-queries; pinned by tests and the stage-2-scale sweep), and the plan-mode
-trade is the same class of documented approximation as the frac/cam_k knobs
-already in the headline. The retention criterion could not be evaluated in
-this environment either way — synthetic-GT training cannot produce the
-image-grounded inter-layer score correlations of a real checkpoint
-(docs/r5_retention_trained.json, ~coin-flip) — so the decision rests on the
-structural invariance plus the documented plan trade, not on a validated
-retention number. ``--config stage2`` benches the exact reference
-semantics; ``stage2_serving_prune`` adds det-query pruning (faster still,
-det outputs affected); all numbers are reported in README.
+bounds tested in tests/test_sampling.py) plus det-query pruning by the
+banks' persistent confidence ranking (``with_topk_det``). Headline decision
+(round 5, made ON the trained-weights sweep): a 500-step TPU-trained
+checkpoint was fed to tools/serving_error_sweep.py; det pruning measured
+nearly free on the decoded plan trajectory (0.02 m L2, zero winner flips)
+while the faster plan-mode knob (``with_topk_mode``,
+`sparse_onedecoder.py:982-1007`) still cost 0.53 m plan L2 there — its
+per-layer score ranking is exactly the property that checkpoint cannot
+certify (retention ~coin-flip, docs/r5_retention_trained.json). Only the
+measured-safe knob is promoted; ``stage2_serving_topk`` (+plan-mode) and
+``stage2_serving_prune`` (both knobs, fastest) stay opt-in pending
+real-checkpoint validation. ``--config stage2`` benches the exact
+reference semantics; all numbers are reported in README.
 """
 
 import argparse
@@ -171,13 +170,14 @@ if __name__ == "__main__":
                         help="per-frame host sync (latency upper bound)")
     parser.add_argument("--bs", type=int, default=1,
                         help="independent streams batched per chip")
-    parser.add_argument("--config", default="stage2_serving_topk",
+    parser.add_argument("--config", default="stage2_serving_det",
                         help="config factory in hipad_tpu.configs.model "
-                             "(stage2_serving_topk = production latency "
+                             "(stage2_serving_det = production latency "
                              "config, see module docstring; stage2_serving "
                              "= sampler knobs only; stage2 = exact "
-                             "reference semantics; stage2_serving_prune = "
-                             "+det-query pruning; stage2_r101_2x | stage1)")
+                             "reference semantics; stage2_serving_topk / "
+                             "stage2_serving_prune = +plan-mode pruning "
+                             "variants; stage2_r101_2x | stage1)")
     args = parser.parse_args()
     import ast as _ast
 

@@ -563,6 +563,24 @@ def stage2_serving_topk(kmeans_dir: str = REFERENCE_KMEANS_DIR,
     return stage2_serving(kmeans_dir, **overrides)
 
 
+def stage2_serving_det(kmeans_dir: str = REFERENCE_KMEANS_DIR,
+                       **overrides) -> HiPADConfig:
+    """``stage2_serving`` plus det-query pruning only — the round-5
+    production headline. Rationale (trained-weights sweep,
+    tools/serving_error_sweep.py --load-from, README round-5 table):
+    det pruning ranks by the banks' PERSISTENT decayed confidence and
+    measured nearly free on the decoded plan trajectory (0.02 m L2, zero
+    winner flips), while the plan-mode knob (``with_topk_mode``) ranks by
+    the CURRENT layer's score and still cost 0.53 m plan L2 on the same
+    checkpoint — so only the measured-safe knob is promoted; the faster
+    ``stage2_serving_topk`` / ``stage2_serving_prune`` variants remain
+    opt-in pending real-checkpoint retention validation. Measured
+    +17% serving fps (16.4 -> 19.2 same-session v5e ladder)."""
+    overrides.setdefault("with_topk_det", True)
+    overrides.setdefault("topk_det_list", (900, 900, 450, 450, 450, 450))
+    return stage2_serving(kmeans_dir, **overrides)
+
+
 def stage2_serving_prune(kmeans_dir: str = REFERENCE_KMEANS_DIR,
                          **overrides) -> HiPADConfig:
     """``stage2_serving_topk`` plus det-query pruning: keep the top-450 of

@@ -88,6 +88,9 @@ def main():
     )
     from hipad_tpu.eval.runner import run_openloop_eval
 
+    import time
+
+    t0 = time.perf_counter()
     summary = run_openloop_eval(
         cfg, variables, dataset, max_frames=args.max_frames,
         dtype=jnp.bfloat16, eval_planning=args.eval_planning,
@@ -97,6 +100,7 @@ def main():
         rank=jax.process_index(), world=jax.process_count(),
         gather_dir=args.gather_dir,
     )
+    wall = time.perf_counter() - t0
     if summary is None:  # non-zero rank: records shipped to rank 0
         return
 
@@ -106,10 +110,15 @@ def main():
     if tables:
         print(tables)
         print()
-    print(json.dumps(summary, indent=2, default=float))
+    n_frames = args.max_frames or len(dataset)
+    # wall includes the one-time jit compile; fps_wall is the honest
+    # end-to-end number for THIS invocation, not a steady-state rate
+    perf = {"frames": int(n_frames), "wall_s": round(wall, 1),
+            "fps_wall": round(n_frames / wall, 3)}
+    print(json.dumps({**summary, "perf": perf}, indent=2, default=float))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"summary": summary}, f, default=float)
+            json.dump({"summary": summary, "perf": perf}, f, default=float)
 
 
 if __name__ == "__main__":
