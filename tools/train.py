@@ -44,14 +44,14 @@ def main():
     p.add_argument("--synthetic", type=int, default=0,
                    help="train N synthetic iters (no dataset needed)")
     p.add_argument("--synthetic-pool", type=int, default=0,
-                   help="with --synthetic: pre-upload a pool of K distinct "
-                        "batches and cycle them instead of streaming a fresh "
-                        "batch per step. Cuts host->device traffic from "
-                        "~16 MB/step to ~zero — the axon tunnel wedges under "
-                        "sustained streaming uploads (round-5 incident: two "
-                        "runs stalled mid-stream; the round-3 500-step "
-                        "streaming run predates the instability). K>=16 keeps "
-                        "losses within a few % of the streaming curve.")
+                   help="with --synthetic: cycle a pool of K distinct "
+                        "batches whose GT uploads once and whose noise "
+                        "images are generated ON DEVICE, instead of "
+                        "streaming ~17 MB of fresh batch per step. The axon "
+                        "tunnel wedges under sustained streaming uploads "
+                        "(round-5 incident: three runs stalled mid-stream; "
+                        "the round-3 500-step streaming run predates the "
+                        "instability).")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run open-loop eval every N iters (needs --val-ann-file)")
     p.add_argument("--val-ann-file", default=None)
@@ -129,13 +129,25 @@ def main():
 
     if args.synthetic:
         if args.synthetic_pool:
-            pool = [
-                {k: jnp.asarray(v)
-                 for k, v in synthetic.make_batch(
-                     cfg, local_bs, seed=args.seed + i * n_proc + pid).items()
-                 if not isinstance(v, list)}
-                for i in range(args.synthetic_pool)
-            ]
+            # GT/meta tensors are KB-scale and upload once; IMAGES (the
+            # ~17 MB/batch that wedges the tunnel) are generated ON DEVICE —
+            # the synthetic loader's images are standard-normal noise
+            # uncorrelated with the GT (synthetic.make_images), so
+            # jax.random.normal is the identical distribution.
+            h, w = cfg.input_size
+            img_shape = (local_bs, cfg.num_cams, h, w, 3)
+            gen_img = jax.jit(
+                lambda k: jax.random.normal(k, img_shape, jnp.float32))
+            keys = jax.random.split(jax.random.PRNGKey(args.seed + 999),
+                                    args.synthetic_pool)
+            pool = []
+            for i in range(args.synthetic_pool):
+                b = synthetic.make_batch(
+                    cfg, local_bs, seed=args.seed + i * n_proc + pid)
+                jb = {k: jnp.asarray(v) for k, v in b.items()
+                      if k != "images" and not isinstance(v, list)}
+                jb["images"] = gen_img(keys[i])
+                pool.append(jb)
 
             def batches():
                 i = 0
